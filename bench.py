@@ -1,0 +1,48 @@
+"""Benchmark: MIS path-tracer throughput on the Cornell scene (test_035).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Baseline derivation (BASELINE.md): the reference renders test_102 (mirror
+Cornell) 1024x1024 @ 1024 spp in 798 ms on an RTX 4090 ~= 1344 Msamples/s
+(camera paths per second).  We measure the same quantity — completed camera
+samples per second, full MIS estimator with NEE shadow rays — on one TPU
+chip and report vs that number.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_MSAMPLES = 1344.0
+CORNELL = '/root/reference/scenes/test_035/statex_00001.xml'
+
+
+def main():
+    from hydracore3_tpu.scene import build as SB
+    from hydracore3_tpu import render as R
+
+    width, height = 1024, 768
+    spp = int(os.environ.get('BENCH_SPP', '64'))
+    scene, meta = SB.load_scene(CORNELL, width=width, height=height)
+
+    # warmup + compile
+    R.render(scene, meta, spp=1, integrator='mispt', iters_per_dispatch=1)
+
+    t0 = time.time()
+    img = R.render(scene, meta, spp=spp, integrator='mispt')
+    dt = time.time() - t0
+    samples = width * height * spp
+    msamples_s = samples / dt / 1e6
+
+    print(json.dumps({
+        'metric': 'mis_pt_cornell_throughput',
+        'value': round(msamples_s, 2),
+        'unit': 'Msamples/s',
+        'vs_baseline': round(msamples_s / BASELINE_MSAMPLES, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,245 @@
+"""Ray-scene intersection (the CrossRT analog, SURVEY.md §2.7).
+
+Implements ``RayQuery_NearestHit`` / ``RayQuery_AnyHit`` over a world-space
+triangle soup in two ways:
+
+* ``intersect_brute`` — chunked all-triangles Moller-Trumbore, a
+  ``lax.scan`` over triangle chunks.  Exact; the correctness oracle for BVH
+  tests and surprisingly fast on the VPU for small scenes.
+* ``intersect_bvh`` — iterative stack-based BVH2 traversal inside a
+  ``lax.while_loop`` (vmapped over rays).  Flat node arrays come from
+  ``build_bvh.build``.
+
+Hit record convention matches CRT_Hit (CrossRT.h): coords[1]=u (weight of
+vertex B), coords[0]=v (weight of C) — see EmbreeRT.cpp:350-352 and the
+barycentric lerp in kernel_RayTrace2 (integrator_pt.cpp:270-271).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+FLT_MAX = 3.4e38
+
+
+class Hit(NamedTuple):
+    t: jnp.ndarray        # [N] f32, FLT_MAX when miss
+    prim_id: jnp.ndarray  # [N] i32, -1 when miss
+    inst_id: jnp.ndarray  # [N] i32
+    geom_id: jnp.ndarray  # [N] i32, -1 when miss
+    u: jnp.ndarray        # [N] f32  (weight of vertex B)
+    v: jnp.ndarray        # [N] f32  (weight of vertex C)
+
+
+def _moller_trumbore(ray_pos, ray_dir, v0, e1, e2, t_min, t_max):
+    """Batched ray x tri intersection.
+
+    ray_pos/dir: [N,3]; v0/e1/e2: [T,3]. Returns (hit_mask, t, u, v): [N,T].
+    """
+    # pvec = dir x e2 : [N,T,3]
+    d = ray_dir[:, None, :]
+    pvec = jnp.cross(d, e2[None, :, :])
+    det = jnp.sum(pvec * e1[None, :, :], axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = ray_pos[:, None, :] - v0[None, :, :]
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1[None, :, :])
+    vv = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2[None, :, :] * qvec, axis=-1) * inv_det
+    hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (vv >= 0.0) & (u + vv <= 1.0)
+           & (t > t_min[:, None]) & (t < t_max[:, None]))
+    return hit, t, u, vv
+
+
+def intersect_brute(tri_v0, tri_e1, tri_e2, tri_inst, tri_geom, tri_prim,
+                    ray_pos, ray_dir, t_min, t_max, chunk=512):
+    """Nearest hit over all triangles, scanning chunks to bound memory."""
+    T = tri_v0.shape[0]
+    n_chunks = max(1, -(-T // chunk))
+    pad = n_chunks * chunk - T
+    if pad:
+        padv = jnp.zeros((pad, 3), tri_v0.dtype)
+        tri_v0 = jnp.concatenate([tri_v0, padv])
+        tri_e1 = jnp.concatenate([tri_e1, padv])
+        tri_e2 = jnp.concatenate([tri_e2, padv])
+        padi = jnp.full((pad,), -1, jnp.int32)
+        tri_inst = jnp.concatenate([tri_inst, padi])
+        tri_geom = jnp.concatenate([tri_geom, padi])
+        tri_prim = jnp.concatenate([tri_prim, padi])
+
+    v0c = tri_v0.reshape(n_chunks, chunk, 3)
+    e1c = tri_e1.reshape(n_chunks, chunk, 3)
+    e2c = tri_e2.reshape(n_chunks, chunk, 3)
+    instc = tri_inst.reshape(n_chunks, chunk)
+    geomc = tri_geom.reshape(n_chunks, chunk)
+    primc = tri_prim.reshape(n_chunks, chunk)
+
+    N = ray_pos.shape[0]
+    init = Hit(
+        t=jnp.full((N,), FLT_MAX, jnp.float32),
+        prim_id=jnp.full((N,), -1, jnp.int32),
+        inst_id=jnp.full((N,), -1, jnp.int32),
+        geom_id=jnp.full((N,), -1, jnp.int32),
+        u=jnp.zeros((N,), jnp.float32),
+        v=jnp.zeros((N,), jnp.float32))
+
+    def body(best, tris):
+        v0, e1, e2, inst, geom, prim = tris
+        hit, t, u, v = _moller_trumbore(ray_pos, ray_dir, v0, e1, e2, t_min, t_max)
+        valid = hit & (geom[None, :] >= 0)
+        t = jnp.where(valid, t, FLT_MAX)
+        j = jnp.argmin(t, axis=-1)                      # [N]
+        tj = jnp.take_along_axis(t, j[:, None], 1)[:, 0]
+        closer = tj < best.t
+        gather = lambda a: jnp.take_along_axis(a, j[:, None], 1)[:, 0]
+        best = Hit(
+            t=jnp.where(closer, tj, best.t),
+            prim_id=jnp.where(closer, prim[j], best.prim_id),
+            inst_id=jnp.where(closer, inst[j], best.inst_id),
+            geom_id=jnp.where(closer, geom[j], best.geom_id),
+            u=jnp.where(closer, gather(u), best.u),
+            v=jnp.where(closer, gather(v), best.v))
+        return best, None
+
+    if n_chunks == 1:
+        best, _ = body(init, (v0c[0], e1c[0], e2c[0], instc[0], geomc[0], primc[0]))
+    else:
+        best, _ = jax.lax.scan(body, init, (v0c, e1c, e2c, instc, geomc, primc))
+    return best
+
+
+def _moller_leaf(ray_pos, ray_dir, v0, e1, e2, t_min, t_max):
+    """Single ray vs [K,3] leaf triangles. Returns (hit, t, u, v) each [K]."""
+    d = ray_dir[None, :]
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(pvec * e1, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = ray_pos[None, :] - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    vv = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (vv >= 0.0) & (u + vv <= 1.0)
+           & (t > t_min) & (t < t_max))
+    return hit, t, u, vv
+
+
+def _slab_test(ray_pos, inv_dir, bmin, bmax, t_min, t_max):
+    t0 = (bmin - ray_pos) * inv_dir
+    t1 = (bmax - ray_pos) * inv_dir
+    tn = jnp.minimum(t0, t1)
+    tf = jnp.maximum(t0, t1)
+    near = jnp.maximum(jnp.max(tn), t_min)
+    far = jnp.minimum(jnp.min(tf), t_max)
+    return near <= far
+
+
+def intersect_bvh(bvh, tri_v0, tri_e1, tri_e2, tri_inst, tri_geom, tri_prim,
+                  ray_pos, ray_dir, t_min, t_max, max_leaf=4, any_hit=False):
+    """Stackless skip-pointer BVH traversal, vmapped over rays.
+
+    ``bvh``: dict/pytree with bmin/bmax [M,3], skip [M], tri_offset [M],
+    tri_count [M]; triangle arrays must already be in BVH leaf order.
+    """
+    bmin, bmax = bvh['bmin'], bvh['bmax']
+    skip, toff, tcnt = bvh['skip'], bvh['tri_offset'], bvh['tri_count']
+
+    def one_ray(pos, d, tmin, tmax):
+        inv_dir = jnp.where(jnp.abs(d) > 1e-20, 1.0 / d,
+                            jnp.sign(d) * 1e20 + jnp.where(d == 0, 1e20, 0.0))
+
+        def cond(state):
+            node, best_t, best_i, _, _, done = state
+            return (node >= 0) & ~done
+
+        def body(state):
+            node, best_t, best_i, best_u, best_v, done = state
+            hit_box = _slab_test(pos, inv_dir, bmin[node], bmax[node], tmin, best_t)
+            is_leaf = tcnt[node] > 0
+            off = toff[node]
+
+            # leaf intersection (max_leaf static unroll)
+            def leaf_test(best_t, best_i, best_u, best_v):
+                idx = off + jnp.arange(max_leaf)
+                valid = (jnp.arange(max_leaf) < tcnt[node])
+                idx = jnp.clip(idx, 0, tri_v0.shape[0] - 1)
+                h, t, u, v = _moller_leaf(pos, d, tri_v0[idx], tri_e1[idx],
+                                          tri_e2[idx], tmin, best_t)
+                h = h & valid
+                t = jnp.where(h, t, FLT_MAX)
+                k = jnp.argmin(t)
+                closer = t[k] < best_t
+                return (jnp.where(closer, t[k], best_t),
+                        jnp.where(closer, idx[k], best_i),
+                        jnp.where(closer, u[k], best_u),
+                        jnp.where(closer, v[k], best_v))
+
+            do_leaf = hit_box & is_leaf
+            nt, ni, nu, nv = leaf_test(best_t, best_i, best_u, best_v)
+            best_t = jnp.where(do_leaf, nt, best_t)
+            new_best_i = jnp.where(do_leaf, ni, best_i)
+            best_u = jnp.where(do_leaf, nu, best_u)
+            best_v = jnp.where(do_leaf, nv, best_v)
+            if any_hit:
+                done = done | (do_leaf & (new_best_i != best_i))
+            next_node = jnp.where(hit_box & ~is_leaf, node + 1, skip[node])
+            return (next_node, best_t, new_best_i, best_u, best_v, done)
+
+        init = (jnp.int32(0), tmax, jnp.int32(-1),
+                jnp.float32(0), jnp.float32(0), jnp.bool_(False))
+        _, best_t, best_i, best_u, best_v, _ = jax.lax.while_loop(cond, body, init)
+        return best_t, best_i, best_u, best_v
+
+    best_t, best_i, best_u, best_v = jax.vmap(one_ray)(ray_pos, ray_dir, t_min, t_max)
+    found = best_i >= 0
+    safe = jnp.maximum(best_i, 0)
+    return Hit(
+        t=jnp.where(found, best_t, FLT_MAX),
+        prim_id=jnp.where(found, tri_prim[safe], -1),
+        inst_id=jnp.where(found, tri_inst[safe], -1),
+        geom_id=jnp.where(found, tri_geom[safe], -1),
+        u=best_u, v=best_v)
+
+
+def any_hit_bvh(bvh, tri_v0, tri_e1, tri_e2, tri_geom,
+                ray_pos, ray_dir, t_min, t_max, max_leaf=4):
+    hit = intersect_bvh(bvh, tri_v0, tri_e1, tri_e2,
+                        jnp.zeros_like(tri_geom), tri_geom,
+                        jnp.zeros_like(tri_geom),
+                        ray_pos, ray_dir, t_min, t_max, max_leaf, any_hit=True)
+    return hit.geom_id >= 0
+
+
+def any_hit_brute(tri_v0, tri_e1, tri_e2, tri_geom,
+                  ray_pos, ray_dir, t_min, t_max, chunk=512):
+    """Shadow-ray occlusion test: any hit in (t_min, t_max)."""
+    T = tri_v0.shape[0]
+    n_chunks = max(1, -(-T // chunk))
+    pad = n_chunks * chunk - T
+    if pad:
+        padv = jnp.zeros((pad, 3), tri_v0.dtype)
+        tri_v0 = jnp.concatenate([tri_v0, padv])
+        tri_e1 = jnp.concatenate([tri_e1, padv])
+        tri_e2 = jnp.concatenate([tri_e2, padv])
+        tri_geom = jnp.concatenate([tri_geom, jnp.full((pad,), -1, jnp.int32)])
+
+    v0c = tri_v0.reshape(n_chunks, chunk, 3)
+    e1c = tri_e1.reshape(n_chunks, chunk, 3)
+    e2c = tri_e2.reshape(n_chunks, chunk, 3)
+    geomc = tri_geom.reshape(n_chunks, chunk)
+
+    N = ray_pos.shape[0]
+
+    def body(occluded, tris):
+        v0, e1, e2, geom = tris
+        hit, _, _, _ = _moller_trumbore(ray_pos, ray_dir, v0, e1, e2, t_min, t_max)
+        return occluded | jnp.any(hit & (geom[None, :] >= 0), axis=-1), None
+
+    if n_chunks == 1:
+        occ, _ = body(jnp.zeros((N,), bool), (v0c[0], e1c[0], e2c[0], geomc[0]))
+    else:
+        occ, _ = jax.lax.scan(body, jnp.zeros((N,), bool),
+                              (v0c, e1c, e2c, geomc))
+    return occ

@@ -1,0 +1,93 @@
+"""CLI compatible with the reference's main.cpp flag surface (user_guide.md:24-77).
+
+Usage:
+    python -m hydracore3_tpu.cli -in scene.xml -out image.exr -integrator mispt -spp 256
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser('hydracore3_tpu', prefix_chars='-')
+    p.add_argument('-in', dest='scene_in', required=True)
+    p.add_argument('-out', dest='image_out', default='z_out.bmp')
+    p.add_argument('-scn_dir', dest='scene_dir', default='')
+    p.add_argument('-integrator', default='mispt',
+                   choices=['naivept', 'shadowpt', 'mispt', 'all', 'raytracing',
+                            'whitted_rt', 'mlt'])
+    p.add_argument('-spp', type=int, default=None)
+    p.add_argument('-width', type=int, default=None)
+    p.add_argument('-height', type=int, default=None)
+    p.add_argument('-channels', type=int, default=4)
+    p.add_argument('-gamma', type=float, default=2.2)
+    p.add_argument('-fb_layer', default='color',
+                   choices=['color', 'direct', 'indirect', 'direct_indirect'])
+    p.add_argument('--spectral', action='store_true')
+    p.add_argument('--qmc', action='store_true')
+    p.add_argument('--cpu', action='store_true')
+    p.add_argument('--gpu', action='store_true')   # accepted for CLI parity
+    p.add_argument('-gpu_id', type=int, default=0)
+    p.add_argument('-cam_id', type=int, default=0)
+    p.add_argument('-tile', type=int, default=1 << 17)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
+    from .scene import build as SB
+    from . import render as R
+    from .utils import imageio as IIO
+
+    print(f'[main]: loading scene ... {args.scene_in}')
+    if not os.path.exists(args.scene_in):
+        print(f'[main]: ERROR, scene file not found: {args.scene_in}')
+        return 1
+    scene, meta = SB.load_scene(args.scene_in, args.scene_dir,
+                                spectral_mode=args.spectral,
+                                width=args.width, height=args.height)
+    spp = args.spp or meta.spp
+    print(f'[main]: scene loaded: {meta.num_tris} tris, {meta.num_lights} lights, '
+          f'{meta.num_materials} materials; {meta.width}x{meta.height} @ {spp} spp')
+
+    integrators = ([args.integrator] if args.integrator != 'all'
+                   else ['naivept', 'shadowpt', 'mispt'])
+    for integ in integrators:
+        name = {'naivept': 'NaivePathTrace', 'shadowpt': 'PathTrace',
+                'mispt': 'PathTrace'}.get(integ, 'PathTrace')
+        t0 = time.time()
+        img, timing = R.render(scene, meta, spp=spp, integrator=integ,
+                               layer=args.fb_layer if args.fb_layer != 'direct_indirect' else 'color',
+                               channels=args.channels, tile_size=args.tile,
+                               progress=True, return_timing=True)
+        ms = (timing['total_s'] - timing['compile_s']) * 1000.0
+        # keep the reference's timing line format so run_bench-style regexes work
+        tag = {'naivept': 'naivept', 'shadowpt': 'shadowpt', 'mispt': 'mispt'}[integ]
+        print(f'{name}Block({tag.upper() if integ=="mispt" else tag}) = {ms:.2f} ms')
+        print(f'PathTraceBlock(exec) = {ms:.2f} ms')
+
+        out = args.image_out
+        if len(integrators) > 1:
+            stem, dot, ext = out.rpartition('.')
+            out = f'{stem}_{integ}.{ext}' if dot else f'{out}_{integ}'
+        # flip to display orientation: the framebuffer row 0 is the scene's
+        # bottom (the reference's BMP writer is bottom-up, displaying the
+        # same way)
+        img_disp = img[::-1]
+        if out.endswith('.exr'):
+            IIO.save_exr(out, img_disp, 1.0)
+        else:
+            IIO.save_ldr(out, img_disp, 1.0, args.gamma)
+        print(f'[main]: saved {out}')
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

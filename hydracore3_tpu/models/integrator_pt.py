@@ -1,0 +1,489 @@
+"""Batched path-tracing integrators (naive / shadow / MIS).
+
+The reference's per-thread hot loop (SURVEY.md §3.1, integrator_pt.cpp:719-758)
+becomes ONE jitted program over a ``[N]`` ray batch: init eye rays ->
+``trace_depth`` x (trace -> NEE -> next bounce) -> env -> contribute, with
+dead-ray masking replacing ``break`` and masked RNG updates keeping the
+random streams identical to the reference's per-thread sequences.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import lmath as LM
+from ..ops import rng as RNG
+from ..ops import texture as TEX
+from ..ops import spectrum as SPEC
+from ..accel import traverse as ACC
+from ..bsdf import common as C
+from ..bsdf import dispatch as MAT
+from ..scene.build import (
+    Scene, SceneMeta, MAT_TYPE_LIGHT_SOURCE, EMISSION_COLOR,
+    LIGHT_GEOM_DIRECT, LIGHT_GEOM_POINT, LIGHT_GEOM_SPHERE,
+)
+from .. import lights as LGT
+
+INTEGRATOR_STUPID_PT = 0
+INTEGRATOR_SHADOW_PT = 1
+INTEGRATOR_MIS_PT = 2
+
+FB_COLOR = 0
+FB_DIRECT = 1
+FB_INDIRECT = 2
+
+_F32MAX = LM.FLT_MAX
+
+
+def _is_dead(flags):
+    return (flags & jnp.uint32(C.RAY_FLAG_IS_DEAD)) != 0
+
+
+def _is_out_of_scene(flags):
+    return (flags & jnp.uint32(C.RAY_FLAG_OUT_OF_SCENE)) != 0
+
+
+def _has_non_spec(flags):
+    return (flags & jnp.uint32(C.RAY_FLAG_HAS_NON_SPEC)) != 0
+
+
+def _pack_mat_id(flags, mat_id):
+    return (flags & jnp.uint32(0xFF000000)) | (mat_id.astype(jnp.uint32) & jnp.uint32(0x00FFFFFF))
+
+
+def _extract_mat_id(flags):
+    return (flags & jnp.uint32(0x00FFFFFF)).astype(jnp.int32)
+
+
+class RayState(NamedTuple):
+    ray_pos: jnp.ndarray       # [N,3]
+    ray_dir: jnp.ndarray       # [N,3]
+    flags: jnp.ndarray         # [N] u32 (top byte flags, low 24 bits matId)
+    accum_color: jnp.ndarray   # [N,4]
+    throughput: jnp.ndarray    # [N,4]
+    mis_pdf: jnp.ndarray       # [N]
+    mis_cos: jnp.ndarray       # [N]
+    mis_ior: jnp.ndarray       # [N]
+    wavelengths: jnp.ndarray   # [N,4]
+    time: jnp.ndarray          # [N]
+    rng: jnp.ndarray           # [N,2] u32
+    # hit surface (filled by trace)
+    hit_pos: jnp.ndarray       # [N,3]
+    hit_norm: jnp.ndarray      # [N,3]
+    hit_tang: jnp.ndarray      # [N,3]
+    hit_uv: jnp.ndarray        # [N,2]
+    hit_dist: jnp.ndarray      # [N]
+    hit_inst: jnp.ndarray      # [N] i32
+
+
+def sample_camera_ray(scene: Scene, meta: SceneMeta, rng_state, xs, ys):
+    """SampleCameraRay (integrator_pt.cpp:44-126): pixel jitter + thin lens."""
+    rng_state, pixel_offsets = RNG.rnd_lens(rng_state)
+    fx = xs.astype(jnp.float32) + pixel_offsets[..., 0]
+    fy = ys.astype(jnp.float32) + pixel_offsets[..., 1]
+    x_norm = fx / float(meta.width)
+    y_norm = fy / float(meta.height)
+
+    ray_dir = LM.eye_ray_dir_normalized(x_norm, y_norm, scene.proj_inv)
+    ray_pos = jnp.zeros_like(ray_dir)
+
+    if meta.cam_lens_radius > 0.0:
+        t_focus = meta.cam_target_dist / (-ray_dir[..., 2])
+        focus_pos = ray_pos + ray_dir * t_focus[..., None]
+        xy = meta.cam_lens_radius * 2.0 * LM.map_samples_to_disc(
+            pixel_offsets[..., 2:4] - 0.5)
+        ray_pos = ray_pos.at[..., 0].add(xy[..., 0]).at[..., 1].add(xy[..., 1])
+        ray_dir = LM.normalize(focus_pos - ray_pos)
+
+    time = jnp.zeros_like(fx)
+    if meta.has_motion:
+        rng_state, time = RNG.rnd_time(rng_state)
+    wave_sam = jnp.ones_like(fx)
+    if meta.spectral_mode:
+        rng_state, wave_sam = RNG.rnd_spec(rng_state)
+    return rng_state, ray_pos, ray_dir, time, wave_sam
+
+
+def kernel_init_eye_ray(scene: Scene, meta: SceneMeta, rng_state, pixel_ids):
+    """kernel_InitEyeRay2 (integrator_pt.cpp:129-157)."""
+    N = pixel_ids.shape[0]
+    xs = pixel_ids % meta.width
+    ys = pixel_ids // meta.width
+    rng_state, ray_pos, ray_dir, time, wave_sam = sample_camera_ray(
+        scene, meta, rng_state, xs, ys)
+
+    if meta.spectral_mode:
+        wavelengths = SPEC.sample_wavelengths(wave_sam)
+    else:
+        wavelengths = jnp.zeros((N, 4), jnp.float32)
+
+    ray_pos, ray_dir = LM.transform_ray3f(scene.world_view_inv, ray_pos, ray_dir)
+    zeros3 = jnp.zeros((N, 3), jnp.float32)
+    return RayState(
+        ray_pos=ray_pos, ray_dir=ray_dir,
+        flags=jnp.zeros((N,), jnp.uint32),
+        accum_color=jnp.zeros((N, 4), jnp.float32),
+        throughput=jnp.ones((N, 4), jnp.float32),
+        mis_pdf=jnp.ones((N,), jnp.float32),
+        mis_cos=jnp.ones((N,), jnp.float32),
+        mis_ior=jnp.ones((N,), jnp.float32),
+        wavelengths=wavelengths, time=time, rng=rng_state,
+        hit_pos=zeros3, hit_norm=zeros3, hit_tang=zeros3,
+        hit_uv=jnp.zeros((N, 2), jnp.float32),
+        hit_dist=jnp.zeros((N,), jnp.float32),
+        hit_inst=jnp.zeros((N,), jnp.int32))
+
+
+def _remap_material_id(scene: Scene, mat_id, inst_id):
+    """RemapMaterialId (integrator_pt_mat.cpp:530-573), vectorized binary search."""
+    remap_list_id = scene.remap_inst[jnp.clip(inst_id, 0, scene.remap_inst.shape[0] - 1), 0]
+    has_remap = remap_list_id >= 0
+    rl = jnp.maximum(remap_list_id, 0)
+    base = scene.all_remap_lists_size
+    r_offset = scene.all_remap_lists[base + rl]
+    r_size = scene.all_remap_lists[base + rl + 1] - r_offset
+
+    lo = jnp.zeros_like(mat_id)
+    hi = r_size - 1
+    for _ in range(20):
+        valid = lo <= hi
+        mid = lo + (hi - lo) // 2
+        from_id = scene.all_remap_lists[r_offset + jnp.clip(mid, 0, None) * 2]
+        go_left = from_id >= mat_id
+        hi = jnp.where(valid & go_left, mid - 1, hi)
+        lo = jnp.where(valid & ~go_left, mid + 1, lo)
+    pos = hi + 1
+    in_range = pos < r_size
+    from_id = scene.all_remap_lists[r_offset + jnp.clip(pos, 0, None) * 2]
+    to_id = scene.all_remap_lists[r_offset + jnp.clip(pos, 0, None) * 2 + 1]
+    remapped = jnp.where(in_range & (from_id == mat_id), to_id, mat_id)
+    return jnp.where(has_remap, remapped, mat_id)
+
+
+def kernel_ray_trace(scene: Scene, meta: SceneMeta, state: RayState, bounce: int
+                     ) -> RayState:
+    """kernel_RayTrace2 (integrator_pt.cpp:214-348): nearest hit + shading prep."""
+    live = ~_is_dead(state.flags)
+    N = state.ray_pos.shape[0]
+    t_min = jnp.zeros((N,), jnp.float32)
+    t_max = jnp.where(live, _F32MAX, 0.0)  # dead rays trace nothing
+
+    if meta.use_bvh:
+        bvh = dict(bmin=scene.bvh_bmin, bmax=scene.bvh_bmax, skip=scene.bvh_skip,
+                   tri_offset=scene.bvh_tri_offset, tri_count=scene.bvh_tri_count)
+        hit = ACC.intersect_bvh(
+            bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
+            scene.tri_inst_id, scene.tri_geom_id, scene.tri_prim_id,
+            state.ray_pos, state.ray_dir, t_min, t_max)
+    else:
+        hit = ACC.intersect_brute(
+            scene.tri_v0, scene.tri_e1, scene.tri_e2,
+            scene.tri_inst_id, scene.tri_geom_id, scene.tri_prim_id,
+            state.ray_pos, state.ray_dir, t_min, t_max)
+
+    found = hit.geom_id >= 0
+    geom = jnp.maximum(hit.geom_id, 0)
+    mv_off = scene.mat_vert_offset[geom]          # [N,2]
+    tri_off, vert_off = mv_off[..., 0], mv_off[..., 1]
+    hit_pos = state.ray_pos + (hit.t * (1.0 - 1e-6))[..., None] * state.ray_dir
+
+    prim = jnp.maximum(hit.prim_id, 0)
+    ia = scene.tri_indices[(tri_off + prim) * 3 + 0] + vert_off
+    ib = scene.tri_indices[(tri_off + prim) * 3 + 1] + vert_off
+    ic = scene.tri_indices[(tri_off + prim) * 3 + 2] + vert_off
+    # CRT coords: u = weight(B), v = weight(C); barycentric lerp matching
+    # integrator_pt.cpp:270-271 (data = (1-u-v)*A + u*B + v*C)
+    wa = (1.0 - hit.u - hit.v)[..., None]
+    wb = hit.u[..., None]
+    wc = hit.v[..., None]
+    va, vb, vc = scene.vdata[ia], scene.vdata[ib], scene.vdata[ic]
+    data = wa * va + wb * vb + wc * vc             # [N,8]
+    hit_norm = data[..., 0:3]
+    hit_tang = data[..., 4:7]
+    hit_uv = jnp.stack([data[..., 3], data[..., 7]], -1)
+
+    inst = jnp.maximum(hit.inst_id, 0)
+    nm = scene.norm_matrices[inst]
+    hit_norm = LM.mul3x3(nm, hit_norm)
+    hit_tang = LM.mul3x3(nm, hit_tang)
+    # TODO(motion blur): second normal-matrix set lerped by time
+    hit_norm = LM.normalize(hit_norm)
+    hit_tang = LM.normalize(hit_tang)
+
+    flip = jnp.where(LM.dot(state.ray_dir, hit_norm) > 0.001, -1.0, 1.0)
+    hit_norm = flip[..., None] * hit_norm
+    hit_tang = flip[..., None] * hit_tang
+
+    flags = state.flags
+    inv_flag = jnp.uint32(C.RAY_FLAG_HAS_INV_NORMAL)
+    flags = jnp.where(flip < 0.0, flags | inv_flag, flags & ~inv_flag)
+
+    mid_orig = scene.mat_id_by_prim[tri_off + prim]
+    mid = _remap_material_id(scene, mid_orig, hit.inst_id)
+    flags_hit = _pack_mat_id(flags, mid)
+
+    miss_add = jnp.uint32(C.RAY_FLAG_IS_DEAD | C.RAY_FLAG_OUT_OF_SCENE
+                          | (C.RAY_FLAG_PRIME_RAY_MISS if bounce == 0 else 0))
+    flags_miss = state.flags | miss_add
+
+    new_flags = jnp.where(live, jnp.where(found, flags_hit, flags_miss), state.flags)
+    keep = (~live | ~found)[..., None]
+    return state._replace(
+        flags=new_flags,
+        hit_pos=jnp.where(keep, state.hit_pos, hit_pos),
+        hit_norm=jnp.where(keep, state.hit_norm, hit_norm),
+        hit_tang=jnp.where(keep, state.hit_tang, hit_tang),
+        hit_uv=jnp.where(keep, state.hit_uv, hit_uv),
+        hit_dist=jnp.where(keep[..., 0], state.hit_dist, hit.t),
+        hit_inst=jnp.where(keep[..., 0], state.hit_inst, hit.inst_id))
+
+
+def kernel_sample_light_source(scene: Scene, meta: SceneMeta, state: RayState,
+                               bounce: int, integrator_type: int, render_layer: int):
+    """kernel_SampleLightSource (integrator_pt.cpp:350-424).
+
+    Returns (shade_color [N,4], new_rng).
+    """
+    N = state.ray_pos.shape[0]
+    live = ~_is_dead(state.flags)
+    rng_state, rands = RNG.rnd_lgts(state.rng, live)
+    if meta.num_lights == 0:
+        return jnp.zeros((N, 4), jnp.float32), rng_state
+
+    light_id = jnp.minimum((rands[..., 3] * meta.num_lights).astype(jnp.int32),
+                           meta.num_lights - 1)
+    lsam = LGT.light_sample_rev(scene, meta, light_id, rands[..., :3], state.hit_pos)
+    hit_dist = jnp.sqrt(jnp.sum((state.hit_pos - lsam['pos']) ** 2, -1))
+    shadow_dir = LM.normalize(lsam['pos'] - state.hit_pos)
+    offs = jnp.maximum(LM.maxcomp(state.hit_pos), 1.0) * 5e-6
+    shadow_pos = state.hit_pos + state.hit_norm * offs[..., None]
+
+    in_illum = (LM.dot(shadow_dir, lsam['norm']) < 0.0) | lsam['is_omni'] | lsam['has_ies']
+    need_trace = live & in_illum
+    if meta.use_bvh:
+        bvh = dict(bmin=scene.bvh_bmin, bmax=scene.bvh_bmax, skip=scene.bvh_skip,
+                   tri_offset=scene.bvh_tri_offset, tri_count=scene.bvh_tri_count)
+        occluded = ACC.any_hit_bvh(
+            bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_geom_id,
+            shadow_pos, shadow_dir,
+            jnp.zeros((N,), jnp.float32),
+            jnp.where(need_trace, hit_dist * 0.9995, 0.0))
+    else:
+        occluded = ACC.any_hit_brute(
+            scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_geom_id,
+            shadow_pos, shadow_dir,
+            jnp.zeros((N,), jnp.float32),
+            jnp.where(need_trace, hit_dist * 0.9995, 0.0))
+    need_shade = need_trace & ~occluded
+
+    mat_id = _extract_mat_id(state.flags)
+    bsdf = MAT.material_eval(scene, meta, mat_id, state.wavelengths,
+                             shadow_dir, -state.ray_dir,
+                             state.hit_norm, state.hit_tang, state.hit_uv)
+    cos_out = jnp.maximum(LM.dot(shadow_dir, state.hit_norm), 0.0)
+
+    lgt_pdf_w = LGT.light_pdf_select_rev(meta) * LGT.light_eval_pdf(
+        scene, meta, light_id, shadow_pos, shadow_dir, lsam['pos'], lsam['norm'],
+        lsam['pdf'])
+    mis = (LM.mis_weight_heuristic(lgt_pdf_w, bsdf['pdf'])
+           if integrator_type == INTEGRATOR_MIS_PT else jnp.ones((N,), jnp.float32))
+
+    gt = LGT.gather_light(scene, light_id)['geom_type']
+    is_direct = gt == LIGHT_GEOM_DIRECT
+    is_point = gt == LIGHT_GEOM_POINT
+    mis = jnp.where(is_direct | is_point, 1.0, mis)
+    lgt_pdf_w = jnp.where(is_direct, 1.0, lgt_pdf_w)
+
+    if render_layer != FB_COLOR:
+        is_direct_light = ~_has_non_spec(state.flags)
+        if render_layer == FB_DIRECT:
+            mis = jnp.where(~is_direct_light, 0.0, mis)
+        elif render_layer == FB_INDIRECT:
+            mis = jnp.where(is_direct_light, 0.0, mis)
+
+    light_color = LGT.light_intensity(scene, meta, light_id, state.wavelengths,
+                                      shadow_pos, shadow_dir)
+    shade = (light_color * bsdf['val'] / jnp.maximum(lgt_pdf_w, 1e-30)[..., None]
+             * (cos_out * mis)[..., None])
+    shade = jnp.where(need_shade[..., None], shade, 0.0)
+    return shade, rng_state
+
+
+def kernel_next_bounce(scene: Scene, meta: SceneMeta, state: RayState, bounce: int,
+                       shade_color, integrator_type: int, render_layer: int
+                       ) -> RayState:
+    """kernel_NextBounce (integrator_pt.cpp:426-548)."""
+    live = ~_is_dead(state.flags)
+    mat_id = _extract_mat_id(state.flags)
+    md_mtype = scene.mat_mtype[mat_id]
+    is_light_mat = md_mtype == jnp.uint32(MAT_TYPE_LIGHT_SOURCE)
+
+    # ---- light-hit branch (integrator_pt.cpp:461-506) ----------------------
+    tc_t = LM.mul_rows_2x4(scene.mat_row0[mat_id][..., 0, :],
+                           scene.mat_row1[mat_id][..., 0, :], state.hit_uv)
+    texid = scene.mat_texid[mat_id][..., 0]
+    tex_color = TEX.sample(scene.textures, MAT._clamp_tex(scene, texid), tc_t)
+    light_id = scene.remap_inst[jnp.clip(state.hit_inst, 0, scene.remap_inst.shape[0] - 1), 1]
+    emiss = scene.mat_colors[mat_id][..., EMISSION_COLOR, :]
+    light_intensity = emiss * tex_color
+
+    has_light = light_id >= 0
+    ld_norm = LGT.gather_light(scene, light_id)['norm'][..., :3]
+    lgt_geom = LGT.gather_light(scene, light_id)['geom_type']
+    light_cos = LM.dot(state.ray_dir, ld_norm)
+    atten = jnp.where((light_cos < 0.0) | (lgt_geom == LIGHT_GEOM_SPHERE), 1.0, 0.0)
+    li_from_light = LGT.light_intensity(scene, meta, light_id, state.wavelengths,
+                                        state.ray_pos, state.ray_dir) * atten[..., None]
+    light_intensity = jnp.where(has_light[..., None], li_from_light, light_intensity)
+
+    mis_weight_l = jnp.ones_like(state.mis_pdf)
+    if integrator_type == INTEGRATOR_MIS_PT:
+        if bounce > 0:
+            lgt_pdf = LGT.light_pdf_select_rev(meta) * LGT.light_eval_pdf(
+                scene, meta, light_id, state.ray_pos, state.ray_dir,
+                state.hit_pos, state.hit_norm, jnp.ones_like(state.mis_pdf))
+            w = LM.mis_weight_heuristic(state.mis_pdf, lgt_pdf)
+            w = jnp.where(state.mis_pdf <= 0.0, 1.0, w)
+            mis_weight_l = jnp.where(has_light, w, 1.0)
+    elif integrator_type == INTEGRATOR_SHADOW_PT:
+        mis_weight_l = jnp.where(_has_non_spec(state.flags), 0.0, 1.0)
+
+    if render_layer == FB_INDIRECT:
+        is_direct_light = ~_has_non_spec(state.flags)
+        is_first_non_spec = (state.flags & jnp.uint32(C.RAY_FLAG_FIRST_NON_SPEC)) != 0
+        mis_weight_l = jnp.where(is_direct_light | is_first_non_spec, 0.0, mis_weight_l)
+
+    light_branch = live & is_light_mat
+    accum_light = state.accum_color + state.throughput * light_intensity * mis_weight_l[..., None]
+    flags_light = state.flags | jnp.uint32(C.RAY_FLAG_IS_DEAD | C.RAY_FLAG_HIT_LIGHT)
+
+    # ---- surface branch: sample BSDF --------------------------------------
+    surf_live = live & ~is_light_mat
+    mat_sam, rng_state, new_ior = MAT.material_sample_and_eval(
+        scene, meta, mat_id, state.wavelengths, state.rng, surf_live,
+        -state.ray_dir, state.hit_norm, state.hit_tang, state.hit_uv,
+        state.mis_ior, state.flags)
+
+    bxdf_val = mat_sam['val'] / jnp.maximum(mat_sam['pdf'], 1e-20)[..., None]
+    cos_theta = jnp.abs(LM.dot(mat_sam['dir'], state.hit_norm))
+
+    new_mis_pdf = jnp.where((mat_sam['flags'] & jnp.uint32(C.RAY_EVENT_S)) != 0,
+                            -1.0, mat_sam['pdf'])
+
+    if integrator_type == INTEGRATOR_STUPID_PT:
+        new_thr = state.throughput * cos_theta[..., None] * bxdf_val
+        new_accum = state.accum_color
+    else:
+        new_accum = state.accum_color + state.throughput * shade_color
+        new_thr = state.throughput * cos_theta[..., None] * bxdf_val
+
+    # transmission offset (integrator_pt.cpp:534-537)
+    hit_pos2 = jnp.where(((mat_sam['flags'] & jnp.uint32(C.RAY_EVENT_T)) != 0)[..., None],
+                         state.hit_pos + (state.hit_dist * 2e-6)[..., None] * state.ray_dir,
+                         state.hit_pos)
+    new_pos = LM.offs_ray_pos(hit_pos2, state.hit_norm, mat_sam['dir'])
+
+    next_flags = ((state.flags & ~jnp.uint32(C.RAY_FLAG_FIRST_NON_SPEC))
+                  | mat_sam['flags'])
+    if render_layer == FB_DIRECT:
+        next_flags = jnp.where(_has_non_spec(state.flags),
+                               next_flags | jnp.uint32(C.RAY_FLAG_IS_DEAD), next_flags)
+    else:
+        first_ns = ~_has_non_spec(state.flags) & _has_non_spec(next_flags)
+        next_flags = jnp.where(first_ns,
+                               next_flags | jnp.uint32(C.RAY_FLAG_FIRST_NON_SPEC),
+                               next_flags)
+
+    # ---- merge branches ----------------------------------------------------
+    lb = light_branch[..., None]
+    sb = surf_live[..., None]
+    return state._replace(
+        accum_color=jnp.where(lb, accum_light,
+                              jnp.where(sb, new_accum, state.accum_color)),
+        throughput=jnp.where(sb, new_thr, state.throughput),
+        flags=jnp.where(light_branch, flags_light,
+                        jnp.where(surf_live, next_flags, state.flags)),
+        ray_pos=jnp.where(sb, new_pos, state.ray_pos),
+        ray_dir=jnp.where(sb, mat_sam['dir'], state.ray_dir),
+        mis_pdf=jnp.where(surf_live, new_mis_pdf, state.mis_pdf),
+        mis_cos=jnp.where(surf_live, cos_theta, state.mis_cos),
+        mis_ior=jnp.where(surf_live, new_ior, state.mis_ior),
+        rng=rng_state)
+
+
+def kernel_hit_environment(scene: Scene, meta: SceneMeta, state: RayState,
+                           integrator_type: int) -> RayState:
+    """kernel_HitEnvironment (integrator_pt.cpp:550-595)."""
+    out = _is_out_of_scene(state.flags)
+    env_color, env_pdf = LGT.environment_color(
+        scene, meta, state.ray_dir, state.wavelengths,
+        integrator_type == INTEGRATOR_MIS_PT)
+
+    is_spec = state.mis_pdf < 0.0
+    exit_zero = (state.flags & jnp.uint32(C.RAY_FLAG_PRIME_RAY_MISS)) != 0
+
+    if integrator_type == INTEGRATOR_MIS_PT and meta.env_enable_sam:
+        lgt_pdf = LGT.light_pdf_select_rev(meta) * env_pdf
+        mis = LM.mis_weight_heuristic(state.mis_pdf, lgt_pdf)
+        env_color = jnp.where((~is_spec & ~exit_zero)[..., None],
+                              env_color * mis[..., None], env_color)
+    elif integrator_type == INTEGRATOR_SHADOW_PT and meta.env_enable_sam:
+        env_color = jnp.zeros_like(env_color)
+
+    # camera-back texture (integrator_pt.cpp:578-589) — applied in render.py
+    if integrator_type == INTEGRATOR_STUPID_PT:
+        new_accum = state.throughput * env_color
+    else:
+        new_accum = state.accum_color + state.throughput * env_color
+    return state._replace(
+        accum_color=jnp.where(out[..., None], new_accum, state.accum_color))
+
+
+def trace_pass(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
+               integrator_type: int = INTEGRATOR_MIS_PT,
+               render_layer: int = FB_COLOR):
+    """One full sample per pixel id. Returns (accum_color [N,4],
+    wavelengths [N,4], flags [N], new rng_state).
+
+    Mirrors PathTrace/NaivePathTrace (integrator_pt.cpp:681-759).
+    """
+    state = kernel_init_eye_ray(scene, meta, rng_state, pixel_ids)
+
+    depth = meta.trace_depth + (1 if integrator_type == INTEGRATOR_STUPID_PT else 0)
+
+    def bounce_body(b, state):
+        state = kernel_ray_trace(scene, meta, state, bounce=b)
+        if integrator_type != INTEGRATOR_STUPID_PT:
+            shade, rng2 = kernel_sample_light_source(
+                scene, meta, state, b, integrator_type, render_layer)
+            state = state._replace(rng=rng2)
+        else:
+            shade = jnp.zeros_like(state.accum_color)
+        state = kernel_next_bounce(scene, meta, state, b, shade,
+                                   integrator_type, render_layer)
+        return state
+
+    # bounce 0 unrolled so the static `bounce == 0` branches (prime-ray miss,
+    # emissive MIS) specialize; remaining bounces share one traced body.
+    state = bounce_body(0, state)
+
+    def body_fn(i, st):
+        st = kernel_ray_trace(scene, meta, st, bounce=1)
+        if integrator_type != INTEGRATOR_STUPID_PT:
+            shade, rng2 = kernel_sample_light_source(
+                scene, meta, st, 1, integrator_type, render_layer)
+            st = st._replace(rng=rng2)
+        else:
+            shade = jnp.zeros_like(st.accum_color)
+        st = kernel_next_bounce(scene, meta, st, 1, shade,
+                                integrator_type, render_layer)
+        return st
+
+    if depth > 1:
+        state = jax.lax.fori_loop(1, depth, body_fn, state)
+
+    state = kernel_hit_environment(scene, meta, state, integrator_type)
+    return state.accum_color, state.wavelengths, state.flags, state.rng

@@ -1,0 +1,194 @@
+"""Flattened texture pool with batched bilinear sampling.
+
+TPU-native replacement for the reference's ``ICombinedImageSampler`` array
+(LiteImage Image2D + Sampler; used e.g. integrator_pt_mat.cpp:146).  All
+texture slots' texels live in ONE flat ``[P, 4]`` float32 array; a per-slot
+table stores (offset, width, height, filter, addressU, addressV).  Sampling a
+per-ray ``tex_id`` is then four dynamic gathers + bilinear weights — fully
+batched, no per-texture dispatch.
+
+Slot 0 is always a 1x1 white dummy (MakeWhiteDummy,
+integrator_pt_scene_tex.cpp:7-16).  Gamma (sRGB -> linear, pow 2.2 like the
+reference's LDR pipeline) is applied at load time so the device pool is
+linear float.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FILTER_NEAREST = 0
+FILTER_LINEAR = 1
+
+ADDR_WRAP = 0
+ADDR_CLAMP = 1
+ADDR_MIRROR = 2
+ADDR_BORDER = 3
+ADDR_MIRROR_ONCE = 4
+
+_ADDR_FROM_STR = {
+    'wrap': ADDR_WRAP, 'clamp': ADDR_CLAMP, 'mirror': ADDR_MIRROR,
+    'border': ADDR_BORDER, 'mirror_once': ADDR_MIRROR_ONCE,
+}
+
+
+def addr_mode_from_string(s: str) -> int:
+    return _ADDR_FROM_STR.get(s, ADDR_WRAP)
+
+
+class TexturePoolBuilder:
+    """Host-side accumulation of texture slots into one flat array."""
+
+    def __init__(self):
+        self._texels: list[np.ndarray] = []
+        self._table: list[tuple] = []
+        self._total = 0
+        # slot 0: white dummy
+        self.add(np.ones((1, 1, 4), np.float32),
+                 filter_mode=FILTER_NEAREST, addr_u=ADDR_CLAMP, addr_v=ADDR_CLAMP)
+
+    def add(self, img: np.ndarray, filter_mode=FILTER_LINEAR,
+            addr_u=ADDR_WRAP, addr_v=ADDR_WRAP) -> int:
+        """img: [H, W, 4] float32 linear. Returns slot id."""
+        assert img.ndim == 3 and img.shape[2] == 4, img.shape
+        h, w = img.shape[:2]
+        slot = len(self._table)
+        self._table.append((self._total, w, h, filter_mode, addr_u, addr_v))
+        self._texels.append(img.reshape(-1, 4).astype(np.float32))
+        self._total += w * h
+        return slot
+
+    def finish(self) -> 'TexturePool':
+        table = np.array(self._table, np.int32)
+        texels = np.concatenate(self._texels, axis=0)
+        return TexturePool(
+            texels=jnp.asarray(texels),
+            offset=jnp.asarray(table[:, 0]),
+            width=jnp.asarray(table[:, 1]),
+            height=jnp.asarray(table[:, 2]),
+            filter=jnp.asarray(table[:, 3]),
+            addr_u=jnp.asarray(table[:, 4]),
+            addr_v=jnp.asarray(table[:, 5]))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TexturePool:
+    texels: jnp.ndarray   # [P, 4] f32
+    offset: jnp.ndarray   # [T] i32
+    width: jnp.ndarray    # [T] i32
+    height: jnp.ndarray   # [T] i32
+    filter: jnp.ndarray   # [T] i32
+    addr_u: jnp.ndarray   # [T] i32
+    addr_v: jnp.ndarray   # [T] i32
+
+
+def _address(idx_f, size, mode):
+    """Apply address mode to integer texel index (can be out of range)."""
+    sf = size
+    wrapped = jnp.remainder(idx_f, sf)
+    clamped = jnp.clip(idx_f, 0, sf - 1)
+    # mirror: reflect indices; period 2*size
+    m = jnp.remainder(idx_f, 2 * sf)
+    mirrored = jnp.where(m < sf, m, 2 * sf - 1 - m)
+    out = jnp.where(mode == ADDR_WRAP, wrapped,
+          jnp.where(mode == ADDR_CLAMP, clamped,
+          jnp.where(mode == ADDR_MIRROR, mirrored, clamped)))
+    return out
+
+
+def sample(pool: TexturePool, tex_id, uv):
+    """Batched texture sample.
+
+    tex_id: int32 [...]; uv: float32 [..., 2]. Returns float32 [..., 4].
+    Bilinear with half-texel centers, matching LiteImage's sample.
+    """
+    tex_id = jnp.asarray(tex_id, jnp.int32)
+    off = pool.offset[tex_id]
+    w = pool.width[tex_id]
+    h = pool.height[tex_id]
+    filt = pool.filter[tex_id]
+    au = pool.addr_u[tex_id]
+    av = pool.addr_v[tex_id]
+
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+
+    # texel-space coords; LiteImage: ffx = tc.x*w - 0.5
+    ffx = uv[..., 0] * wf - 0.5
+    ffy = uv[..., 1] * hf - 0.5
+    px = jnp.floor(ffx)
+    py = jnp.floor(ffy)
+    fx = ffx - px
+    fy = ffy - py
+    px = px.astype(jnp.int32)
+    py = py.astype(jnp.int32)
+
+    def fetch(ix, iy):
+        ix = _address(ix, w, au)
+        iy = _address(iy, h, av)
+        return pool.texels[off + iy * w + ix]
+
+    c00 = fetch(px, py)
+    c10 = fetch(px + 1, py)
+    c01 = fetch(px, py + 1)
+    c11 = fetch(px + 1, py + 1)
+    fx1 = fx[..., None]
+    fy1 = fy[..., None]
+    bilinear = (c00 * (1 - fx1) * (1 - fy1) + c10 * fx1 * (1 - fy1)
+                + c01 * (1 - fx1) * fy1 + c11 * fx1 * fy1)
+
+    # nearest: round tc*size - 0.0 down (LiteImage nearest = int(tc*size))
+    nx = _address((uv[..., 0] * wf).astype(jnp.int32), w, au)
+    ny = _address((uv[..., 1] * hf).astype(jnp.int32), h, av)
+    nearest = pool.texels[off + ny * w + nx]
+
+    return jnp.where((filt == FILTER_LINEAR)[..., None], bilinear, nearest)
+
+
+# ---------------------------------------------------------------------------
+# Host-side image decoding for Hydra texture chunks
+# ---------------------------------------------------------------------------
+
+def decode_chunk(path: str, width: int, height: int, bpp: int, offset: int,
+                 srgb_to_linear: bool) -> np.ndarray:
+    """Read a Hydra .image4ub/.image4f chunk file -> [H, W, 4] float32 linear.
+
+    File layout (integrator_pt_scene_tex.cpp:55-99): int32 w, int32 h, then
+    w*h*4 bytes (u8 RGBA) or w*h*4 float32.
+    """
+    with open(path, 'rb') as f:
+        raw = f.read()
+    wh = np.frombuffer(raw, '<i4', count=2, offset=0)
+    w, h = int(wh[0]), int(wh[1])
+    if w == 0 or h == 0:
+        return np.ones((1, 1, 4), np.float32)
+    if bpp == 16:
+        data = np.frombuffer(raw, '<f4', count=w * h * 4, offset=8)
+        return data.reshape(h, w, 4).astype(np.float32)
+    data = np.frombuffer(raw, np.uint8, count=w * h * 4, offset=8)
+    img = data.reshape(h, w, 4).astype(np.float32) / 255.0
+    if srgb_to_linear:
+        img = img.copy()
+        img[..., :3] = np.power(img[..., :3], 2.2, dtype=np.float32)
+    return img
+
+
+def load_image_file(path: str, srgb_to_linear: bool) -> np.ndarray:
+    """Load .bmp/.png/.jpg/.exr via imageio -> [H, W, 4] float32 linear."""
+    import imageio.v3 as iio
+    img = np.asarray(iio.imread(path))
+    if img.dtype == np.uint8:
+        imgf = img.astype(np.float32) / 255.0
+        if srgb_to_linear:
+            imgf = np.power(imgf, 2.2, dtype=np.float32)
+    else:
+        imgf = img.astype(np.float32)
+    if imgf.ndim == 2:
+        imgf = imgf[..., None].repeat(3, axis=-1)
+    if imgf.shape[-1] == 3:
+        imgf = np.concatenate([imgf, np.ones_like(imgf[..., :1])], axis=-1)
+    return imgf

@@ -1,0 +1,137 @@
+"""Render driver: pass loop, framebuffer accumulation, layers.
+
+The analog of PathTraceBlock + main.cpp's frame loop (SURVEY.md §3.1 L6/L7):
+jit one full sample-per-pixel pass, loop passes on the host accumulating into
+the framebuffer, normalize by 1/passes at save time.  Rays are processed in
+fixed-size tiles so huge framebuffers bound device memory; each tile reuses
+the same compiled program.
+"""
+from __future__ import annotations
+
+import functools
+import time as _time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import rng as RNG
+from .ops import spectrum as SPEC
+from .ops import texture as TEX
+from .models import integrator_pt as IPT
+from .scene.build import Scene, SceneMeta
+from .bsdf import common as C
+from .utils import lmath as LM
+
+INTEGRATOR_BY_NAME = {
+    'naivept': IPT.INTEGRATOR_STUPID_PT,
+    'shadowpt': IPT.INTEGRATOR_SHADOW_PT,
+    'mispt': IPT.INTEGRATOR_MIS_PT,
+}
+
+LAYER_BY_NAME = {
+    'color': IPT.FB_COLOR,
+    'direct': IPT.FB_DIRECT,
+    'indirect': IPT.FB_INDIRECT,
+}
+
+
+def _one_sample(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
+                integrator_type: int, render_layer: int, channels: int):
+    """One sample for each pixel id; returns (contrib [N, C], rng_state).
+
+    The spectral->RGB conversion is kernel_ContributeToImage
+    (integrator_pt.cpp:598-657) / SpectralCamRespoceToRGB."""
+    accum, wavelengths, flags, rng_state = IPT.trace_pass(
+        scene, meta, rng_state, pixel_ids, integrator_type, render_layer)
+
+    if channels == 1:
+        contrib = accum[..., :1] * meta.exposure_mult
+    elif meta.spectral_mode:
+        terminate = (flags & jnp.uint32(C.RAY_FLAG_WAVES_DIVERGED)) != 0
+        xyz = SPEC.spectrum_to_xyz(accum, wavelengths, scene.cie_xyz, terminate)
+        rgb = SPEC.xyz_to_rgb(xyz)
+        contrib = jnp.concatenate([rgb * meta.exposure_mult,
+                                   jnp.ones_like(rgb[..., :1])], -1)[..., :channels]
+    else:
+        tmp = accum * scene.cam_response_rgb
+        contrib = (tmp * meta.exposure_mult)[..., :channels]
+    return contrib, rng_state
+
+
+@functools.partial(jax.jit, static_argnames=('meta', 'integrator_type',
+                                             'render_layer', 'channels',
+                                             'n_iters'))
+def _render_tile(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
+                 integrator_type: int, render_layer: int, channels: int,
+                 n_iters: int):
+    """n_iters samples per pixel in one dispatch (the RTVPersistent_Iters
+    loop, integrator_pt.cpp:721-723). Returns (sum contrib [N, C], rng)."""
+    def body(_, carry):
+        fb, rng = carry
+        contrib, rng = _one_sample(scene, meta, rng, pixel_ids,
+                                   integrator_type, render_layer, channels)
+        return fb + contrib, rng
+
+    fb0 = jnp.zeros(pixel_ids.shape + (channels,), jnp.float32)
+    if n_iters == 1:
+        return body(0, (fb0, rng_state))
+    return jax.lax.fori_loop(0, n_iters, body, (fb0, rng_state))
+
+
+def render(scene: Scene, meta: SceneMeta, spp: int = None,
+           integrator: str = 'mispt', layer: str = 'color', channels: int = 4,
+           tile_size: int = 1 << 17, iters_per_dispatch: int = 1,
+           progress: bool = False, return_timing: bool = False):
+    """Render a full frame. Returns float32 [H, W, channels] (normalized)."""
+    spp = spp or meta.spp
+    itype = INTEGRATOR_BY_NAME[integrator]
+    rlayer = LAYER_BY_NAME[layer]
+    W, H = meta.width, meta.height
+    N = W * H
+
+    pixel_all = np.arange(N, dtype=np.int32)
+    rng_all = np.asarray(RNG.gen_init(pixel_all))
+
+    fb = np.zeros((N, channels), np.float32)
+    n_tiles = -(-N // tile_size)
+    pad = n_tiles * tile_size - N
+    if pad:
+        pixel_pad = np.concatenate([pixel_all, np.zeros(pad, np.int32)])
+        rng_pad = np.concatenate([rng_all, np.zeros((pad, 2), rng_all.dtype)])
+    else:
+        pixel_pad, rng_pad = pixel_all, rng_all
+
+    # split spp into dispatches of iters_per_dispatch samples
+    iters = min(iters_per_dispatch, spp)
+    schedule = [iters] * (spp // iters)
+    if spp % iters:
+        schedule.append(spp % iters)
+
+    t0 = _time.time()
+    compile_time = 0.0
+    done = 0
+    for p, n_iters in enumerate(schedule):
+        for t in range(n_tiles):
+            sl = slice(t * tile_size, (t + 1) * tile_size)
+            tc0 = _time.time()
+            contrib, rng_new = _render_tile(
+                scene, meta, jnp.asarray(rng_pad[sl]), jnp.asarray(pixel_pad[sl]),
+                itype, rlayer, channels, n_iters)
+            contrib = np.asarray(contrib)
+            rng_pad[sl] = np.asarray(rng_new)
+            if p == 0 and t == 0:
+                compile_time = _time.time() - tc0
+            valid = min(tile_size, N - t * tile_size)
+            fb[sl.start:sl.start + valid] += contrib[:valid]
+        done += n_iters
+        if progress:
+            print(f'rendering, progress = {100.0 * done / spp:.2f} %', end='\r')
+    if progress:
+        print()
+    total = _time.time() - t0
+    img = (fb / float(spp)).reshape(H, W, channels)
+    if return_timing:
+        return img, dict(total_s=total, compile_s=compile_time,
+                         spp=spp, rays=N * spp)
+    return img
