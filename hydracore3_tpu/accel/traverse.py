@@ -37,26 +37,52 @@ def _moller_trumbore(ray_pos, ray_dir, v0, e1, e2, t_min, t_max):
     """Batched ray x tri intersection.
 
     ray_pos/dir: [N,3]; v0/e1/e2: [T,3]. Returns (hit_mask, t, u, v): [N,T].
+
+    Written component-wise so every intermediate is a 2-D [N,T] array
+    (maps to clean 8x128 VPU tiles); [N,T,3] temporaries are ~3x the HBM
+    traffic and dominated the TPU profile.
     """
-    # pvec = dir x e2 : [N,T,3]
-    d = ray_dir[:, None, :]
-    pvec = jnp.cross(d, e2[None, :, :])
-    det = jnp.sum(pvec * e1[None, :, :], axis=-1)
+    dx, dy, dz = ray_dir[:, 0:1], ray_dir[:, 1:2], ray_dir[:, 2:3]
+    px, py, pz = ray_pos[:, 0:1], ray_pos[:, 1:2], ray_pos[:, 2:3]
+    e1x, e1y, e1z = e1[None, :, 0], e1[None, :, 1], e1[None, :, 2]
+    e2x, e2y, e2z = e2[None, :, 0], e2[None, :, 1], e2[None, :, 2]
+    v0x, v0y, v0z = v0[None, :, 0], v0[None, :, 1], v0[None, :, 2]
+
+    # pvec = d x e2
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = pvx * e1x + pvy * e1y + pvz * e1z
     inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    tvec = ray_pos[:, None, :] - v0[None, :, :]
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1[None, :, :])
-    vv = jnp.sum(d * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2[None, :, :] * qvec, axis=-1) * inv_det
+    # tvec = p - v0
+    tvx = px - v0x
+    tvy = py - v0y
+    tvz = pz - v0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    # qvec = tvec x e1
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
     hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (vv >= 0.0) & (u + vv <= 1.0)
            & (t > t_min[:, None]) & (t < t_max[:, None]))
     return hit, t, u, vv
+
+
+def _round_chunk(T, chunk):
+    """Pick a chunk that avoids padding tiny scenes up to huge widths."""
+    if T <= 0:
+        return chunk
+    aligned = -(-T // 8) * 8
+    return min(chunk, max(aligned, 8))
 
 
 def intersect_brute(tri_v0, tri_e1, tri_e2, tri_inst, tri_geom, tri_prim,
                     ray_pos, ray_dir, t_min, t_max, chunk=512):
     """Nearest hit over all triangles, scanning chunks to bound memory."""
     T = tri_v0.shape[0]
+    chunk = _round_chunk(T, chunk)
     n_chunks = max(1, -(-T // chunk))
     pad = n_chunks * chunk - T
     if pad:
@@ -216,6 +242,7 @@ def any_hit_brute(tri_v0, tri_e1, tri_e2, tri_geom,
                   ray_pos, ray_dir, t_min, t_max, chunk=512):
     """Shadow-ray occlusion test: any hit in (t_min, t_max)."""
     T = tri_v0.shape[0]
+    chunk = _round_chunk(T, chunk)
     n_chunks = max(1, -(-T // chunk))
     pad = n_chunks * chunk - T
     if pad:

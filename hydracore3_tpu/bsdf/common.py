@@ -261,12 +261,18 @@ def fr_dielectric_pbrt(cos_theta_i, eta_i, eta_t):
     entering = cos_theta_i > 0.0
     ei = jnp.where(entering, eta_i, eta_t)
     et = jnp.where(entering, eta_t, eta_i)
+    # eta==0 means "Fresnel disabled" in Hydra materials (never evaluated in
+    # the reference's guarded branches); keep the math NaN-free for AD.
+    et_s = jnp.where(jnp.abs(et) < 1e-12, 1.0, et)
+    ei_s = jnp.where(jnp.abs(ei) < 1e-12, 1.0, ei)
     ci = jnp.abs(cos_theta_i)
     sin_i = safe_sqrt(1.0 - ci * ci)
-    sin_t = ei / et * sin_i
+    sin_t = ei_s / et_s * sin_i
     ct = safe_sqrt(1.0 - sin_t * sin_t)
-    r_parl = (et * ci - ei * ct) / (et * ci + ei * ct)
-    r_perp = (ei * ci - et * ct) / (ei * ci + et * ct)
+    denom1 = et_s * ci + ei_s * ct
+    denom2 = ei_s * ci + et_s * ct
+    r_parl = (et_s * ci - ei_s * ct) / jnp.where(jnp.abs(denom1) < 1e-12, 1.0, denom1)
+    r_perp = (ei_s * ci - et_s * ct) / jnp.where(jnp.abs(denom2) < 1e-12, 1.0, denom2)
     r = 0.5 * (r_parl * r_parl + r_perp * r_perp)
     return jnp.where(sin_t >= 1.0, 1.0, r)
 

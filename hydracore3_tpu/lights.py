@@ -9,7 +9,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .utils.lmath import (
-    M_PI, dot, normalize, mul3x3, mul4x4_vec, epsilon_of_pos, map_samples_to_disc,
+    M_PI, safe_arccos, dot, normalize, mul3x3, mul4x4_vec, epsilon_of_pos, map_samples_to_disc,
     pdf_a_to_w, mul_rows_2x4, sphere_map_to_2d_tex_coord, tex_coord_2d_to_sphere_map,
 )
 from .ops import texture as TEX
@@ -107,7 +107,7 @@ def light_sample_rev(scene: Scene, meta: SceneMeta, light_id, rands3, illum_poin
 
     # sphere — clight.h:86-103
     theta = 2.0 * M_PI * rands2[..., 0]
-    phi = jnp.arccos(jnp.clip(1.0 - 2.0 * rands2[..., 1], -1.0, 1.0))
+    phi = safe_arccos(1.0 - 2.0 * rands2[..., 1])
     sph_dir = jnp.stack([jnp.sin(phi) * jnp.cos(theta),
                          jnp.sin(phi) * jnp.sin(theta),
                          jnp.cos(phi)], -1)

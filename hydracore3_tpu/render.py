@@ -91,7 +91,7 @@ def render(scene: Scene, meta: SceneMeta, spp: int = None,
     N = W * H
 
     pixel_all = np.arange(N, dtype=np.int32)
-    rng_all = np.asarray(RNG.gen_init(pixel_all))
+    rng_all = np.array(RNG.gen_init(pixel_all))  # copy: device views are read-only
 
     fb = np.zeros((N, channels), np.float32)
     n_tiles = -(-N // tile_size)
@@ -108,27 +108,35 @@ def render(scene: Scene, meta: SceneMeta, spp: int = None,
     if spp % iters:
         schedule.append(spp % iters)
 
+    # keep ALL loop state on device: host round-trips per dispatch dominate
+    # when the chip sits behind a transfer relay
+    rng_dev = [jnp.asarray(rng_pad[t * tile_size:(t + 1) * tile_size])
+               for t in range(n_tiles)]
+    pix_dev = [jnp.asarray(pixel_pad[t * tile_size:(t + 1) * tile_size])
+               for t in range(n_tiles)]
+    fb_dev = [None] * n_tiles
+
     t0 = _time.time()
     compile_time = 0.0
     done = 0
     for p, n_iters in enumerate(schedule):
         for t in range(n_tiles):
-            sl = slice(t * tile_size, (t + 1) * tile_size)
             tc0 = _time.time()
-            contrib, rng_new = _render_tile(
-                scene, meta, jnp.asarray(rng_pad[sl]), jnp.asarray(pixel_pad[sl]),
+            contrib, rng_dev[t] = _render_tile(
+                scene, meta, rng_dev[t], pix_dev[t],
                 itype, rlayer, channels, n_iters)
-            contrib = np.asarray(contrib)
-            rng_pad[sl] = np.asarray(rng_new)
+            fb_dev[t] = contrib if fb_dev[t] is None else fb_dev[t] + contrib
             if p == 0 and t == 0:
+                contrib.block_until_ready()
                 compile_time = _time.time() - tc0
-            valid = min(tile_size, N - t * tile_size)
-            fb[sl.start:sl.start + valid] += contrib[:valid]
         done += n_iters
         if progress:
             print(f'rendering, progress = {100.0 * done / spp:.2f} %', end='\r')
     if progress:
         print()
+    for t in range(n_tiles):
+        valid = min(tile_size, N - t * tile_size)
+        fb[t * tile_size:t * tile_size + valid] += np.asarray(fb_dev[t])[:valid]
     total = _time.time() - t0
     img = (fb / float(spp)).reshape(H, W, channels)
     if return_timing:

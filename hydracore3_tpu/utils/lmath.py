@@ -48,13 +48,44 @@ def length(v):
 
 
 def normalize(v, eps=0.0):
+    # guard must stay in the normal f32 range: 1e-38 is subnormal and gets
+    # flushed to zero on TPU/XLA-CPU, making rsqrt return inf (0*inf = NaN
+    # for zero-length inputs like degenerate half-vectors on missed rays)
     n2 = jnp.sum(v * v, axis=-1, keepdims=True)
-    return v * jax.lax.rsqrt(jnp.maximum(n2, 1e-38))
+    return v * jax.lax.rsqrt(jnp.maximum(n2, 1e-30))
 
 
+@jax.custom_jvp
 def safe_sqrt(x):
-    """sqrt(max(x, 0)) (cmaterial.h:206-209)."""
+    """sqrt(max(x, 0)) (cmaterial.h:206-209) with a bounded gradient at 0.
+
+    The derivative 1/(2 sqrt x) blows up at x=0 (hit constantly: sin_theta =
+    sqrt(1-cos^2) at grazing/normal incidence), turning into inf*0=NaN in
+    reverse mode. Clamp like Mitsuba's dr.safe_sqrt."""
     return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+@safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    y = jnp.sqrt(jnp.maximum(x, 0.0))
+    dy = dx * 0.5 / jnp.maximum(y, 1e-6)
+    return y, jnp.where(x > 0, dy, jnp.zeros_like(dy))
+
+
+@jax.custom_jvp
+def safe_arccos(x):
+    """arccos with clamped input and bounded gradient at |x|=1."""
+    return jnp.arccos(jnp.clip(x, -1.0, 1.0))
+
+
+@safe_arccos.defjvp
+def _safe_arccos_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    xc = jnp.clip(x, -1.0, 1.0)
+    y = jnp.arccos(xc)
+    denom = jnp.maximum(jnp.sqrt(jnp.maximum(1.0 - xc * xc, 0.0)), 1e-6)
+    return y, -dx / denom
 
 
 def clamp(x, a, b):
@@ -178,7 +209,7 @@ def map_sample_to_cosine_distribution(r1, r2, direction, hit_norm, power):
     """cglobals.h:143-181 (power-cosine hemisphere sample around `direction`)."""
     sin_phi = jnp.sin(M_TWOPI * r1)
     cos_phi = jnp.cos(M_TWOPI * r1)
-    cos_theta = jnp.power(jnp.maximum(1.0 - r2, 0.0), 1.0 / (power + 1.0))
+    cos_theta = jnp.power(jnp.maximum(1.0 - r2, 1e-20), 1.0 / (power + 1.0))
     sin_theta = safe_sqrt(1.0 - cos_theta * cos_theta)
     dx = sin_theta * cos_phi
     dy = sin_theta * sin_phi
@@ -261,7 +292,7 @@ def sphere_map_to_phi_theta(ray_dir):
     x = ray_dir[..., 2]
     y = ray_dir[..., 0]
     z = -ray_dir[..., 1]
-    theta = jnp.arccos(jnp.clip(z, -1.0, 1.0))
+    theta = safe_arccos(z)
     phi = jnp.arctan2(y, x)
     phi = jnp.where(phi < 0.0, phi + M_TWOPI, phi)
     return phi, theta
