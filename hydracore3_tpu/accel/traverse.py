@@ -26,11 +26,12 @@ FLT_MAX = 3.4e38
 
 class Hit(NamedTuple):
     t: jnp.ndarray        # [N] f32, FLT_MAX when miss
-    prim_id: jnp.ndarray  # [N] i32, -1 when miss
+    prim_id: jnp.ndarray  # [N] i32 per-mesh primitive id, -1 when miss
     inst_id: jnp.ndarray  # [N] i32
     geom_id: jnp.ndarray  # [N] i32, -1 when miss
     u: jnp.ndarray        # [N] f32  (weight of vertex B)
     v: jnp.ndarray        # [N] f32  (weight of vertex C)
+    soup_id: jnp.ndarray  # [N] i32 flat triangle index (for baked shade rows)
 
 
 def _moller_trumbore(ray_pos, ray_dir, v0, e1, e2, t_min, t_max):
@@ -95,12 +96,16 @@ def intersect_brute(tri_v0, tri_e1, tri_e2, tri_inst, tri_geom, tri_prim,
         tri_geom = jnp.concatenate([tri_geom, padi])
         tri_prim = jnp.concatenate([tri_prim, padi])
 
+    soup_ids = jnp.concatenate([
+        jnp.arange(T, dtype=jnp.int32),
+        jnp.full((n_chunks * chunk - T,), -1, jnp.int32)])
     v0c = tri_v0.reshape(n_chunks, chunk, 3)
     e1c = tri_e1.reshape(n_chunks, chunk, 3)
     e2c = tri_e2.reshape(n_chunks, chunk, 3)
     instc = tri_inst.reshape(n_chunks, chunk)
     geomc = tri_geom.reshape(n_chunks, chunk)
     primc = tri_prim.reshape(n_chunks, chunk)
+    soupc = soup_ids.reshape(n_chunks, chunk)
 
     N = ray_pos.shape[0]
     init = Hit(
@@ -109,10 +114,11 @@ def intersect_brute(tri_v0, tri_e1, tri_e2, tri_inst, tri_geom, tri_prim,
         inst_id=jnp.full((N,), -1, jnp.int32),
         geom_id=jnp.full((N,), -1, jnp.int32),
         u=jnp.zeros((N,), jnp.float32),
-        v=jnp.zeros((N,), jnp.float32))
+        v=jnp.zeros((N,), jnp.float32),
+        soup_id=jnp.full((N,), -1, jnp.int32))
 
     def body(best, tris):
-        v0, e1, e2, inst, geom, prim = tris
+        v0, e1, e2, inst, geom, prim, soup = tris
         hit, t, u, v = _moller_trumbore(ray_pos, ray_dir, v0, e1, e2, t_min, t_max)
         valid = hit & (geom[None, :] >= 0)
         t = jnp.where(valid, t, FLT_MAX)
@@ -126,13 +132,14 @@ def intersect_brute(tri_v0, tri_e1, tri_e2, tri_inst, tri_geom, tri_prim,
             inst_id=jnp.where(closer, inst[j], best.inst_id),
             geom_id=jnp.where(closer, geom[j], best.geom_id),
             u=jnp.where(closer, gather(u), best.u),
-            v=jnp.where(closer, gather(v), best.v))
+            v=jnp.where(closer, gather(v), best.v),
+            soup_id=jnp.where(closer, soup[j], best.soup_id))
         return best, None
 
     if n_chunks == 1:
-        best, _ = body(init, (v0c[0], e1c[0], e2c[0], instc[0], geomc[0], primc[0]))
+        best, _ = body(init, (v0c[0], e1c[0], e2c[0], instc[0], geomc[0], primc[0], soupc[0]))
     else:
-        best, _ = jax.lax.scan(body, init, (v0c, e1c, e2c, instc, geomc, primc))
+        best, _ = jax.lax.scan(body, init, (v0c, e1c, e2c, instc, geomc, primc, soupc))
     return best
 
 
@@ -226,7 +233,8 @@ def intersect_bvh(bvh, tri_v0, tri_e1, tri_e2, tri_inst, tri_geom, tri_prim,
         prim_id=jnp.where(found, tri_prim[safe], -1),
         inst_id=jnp.where(found, tri_inst[safe], -1),
         geom_id=jnp.where(found, tri_geom[safe], -1),
-        u=best_u, v=best_v)
+        u=best_u, v=best_v,
+        soup_id=jnp.where(found, best_i, -1))
 
 
 def any_hit_bvh(bvh, tri_v0, tri_e1, tri_e2, tri_geom,

@@ -8,6 +8,7 @@ batch and merged with selects.  The blend tree descends with masked draws
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..utils.lmath import dot, normalize, mul_rows_2x4, cross
@@ -35,19 +36,42 @@ from . import glass as GLASS
 from . import plastic as PLAST
 
 
+ONE_HOT_MAX = 128  # tables up to this row count are fetched as MXU matmuls
+
+
+def _fetch_rows(table, idx, n_rows):
+    """Row fetch: one-hot matmul for small tables (fast on TPU — random
+    gathers serialize, matmuls don't), plain gather otherwise."""
+    if n_rows <= ONE_HOT_MAX:
+        onehot = jax.nn.one_hot(idx, n_rows, dtype=table.dtype
+                                if table.dtype in (jnp.float32, jnp.bfloat16)
+                                else jnp.float32)
+        if table.dtype in (jnp.float32, jnp.bfloat16):
+            return onehot @ table
+        return (onehot @ table.astype(jnp.float32)).astype(table.dtype)
+    return table[idx]
+
+
 def gather_material(scene: Scene, mat_id):
-    """Gather the per-ray material rows (struct Material SoA)."""
+    """Fetch per-ray material rows from the packed tables.
+
+    One f32 row [64] + one i32 row [16] per ray replaces ~10 scattered
+    gathers over the struct-of-arrays tables (cmaterial.h Material layout:
+    colors/row0/row1/data + mtype/cflags/texid/spdid/datai)."""
+    M = scene.mat_packed_f32.shape[0]
+    f = _fetch_rows(scene.mat_packed_f32, mat_id, M)
+    ints = scene.mat_packed_i32[mat_id]
     return dict(
-        mtype=scene.mat_mtype[mat_id],
-        cflags=scene.mat_cflags[mat_id],
-        nonlinear=scene.mat_nonlinear[mat_id],
-        texid=scene.mat_texid[mat_id],
-        spdid=scene.mat_spdid[mat_id],
-        datai=scene.mat_datai[mat_id],
-        colors=scene.mat_colors[mat_id],
-        row0=scene.mat_row0[mat_id],
-        row1=scene.mat_row1[mat_id],
-        data=scene.mat_data[mat_id],
+        mtype=ints[..., 0].astype(jnp.uint32),
+        cflags=ints[..., 1].astype(jnp.uint32),
+        nonlinear=ints[..., 2],
+        texid=ints[..., 4:8],
+        spdid=ints[..., 8:12],
+        datai=ints[..., 12:16],
+        colors=f[..., 0:16].reshape(f.shape[:-1] + (4, 4)),
+        row0=f[..., 16:32].reshape(f.shape[:-1] + (4, 4)),
+        row1=f[..., 32:48].reshape(f.shape[:-1] + (4, 4)),
+        data=f[..., 48:64],
     )
 
 
@@ -143,7 +167,9 @@ def _merge(sel, a, b):
 
 
 def material_sample_and_eval(scene: Scene, meta: SceneMeta, mat_id, wavelengths,
-                             rng_state, live, v, n, tang, tc, mis_ior, ray_flags):
+                             rng_state, live, v, n, tang, tc, mis_ior, ray_flags,
+                             rnd_mats_override=None,
+                             rnd_mats_override_full=None):
     """MaterialSampleAndEval (integrator_pt_mat.cpp:109-306), batched.
 
     Returns (sample_dict, new_rng_state, new_mis_ior).
@@ -181,6 +207,11 @@ def material_sample_and_eval(scene: Scene, meta: SceneMeta, mat_id, wavelengths,
     tc_t = mul_rows_2x4(md['row0'][..., 0, :], md['row1'][..., 0, :], tc)
     tex_color = TEX.sample(scene.textures, _clamp_tex(scene, md['texid'][..., 0]), tc_t)
     rng_state, rands = RNG.rnd_mats(rng_state, live)
+    if rnd_mats_override_full is not None:
+        rands = rnd_mats_override_full   # KMLT: full 4-vector from chain state
+    elif rnd_mats_override is not None:
+        # IntegratorQMC bounce-0 dims (integrator_qmc.cpp:118-127)
+        rands = jnp.concatenate([rnd_mats_override, rands[..., 2:4]], -1)
     four_params = _four_scalar_params(scene, meta, md, tc)
 
     res = _empty_sample(N)

@@ -61,15 +61,50 @@ def main(argv=None):
                    else ['naivept', 'shadowpt', 'mispt'])
     for integ in integrators:
         name = {'naivept': 'NaivePathTrace', 'shadowpt': 'PathTrace',
-                'mispt': 'PathTrace'}.get(integ, 'PathTrace')
+                'mispt': 'PathTrace',
+                'raytracing': 'RayTrace', 'whitted_rt': 'RayTrace'}.get(integ, 'PathTrace')
+        layer = args.fb_layer if args.fb_layer != 'direct_indirect' else 'color'
         t0 = time.time()
-        img, timing = R.render(scene, meta, spp=spp, integrator=integ,
-                               layer=args.fb_layer if args.fb_layer != 'direct_indirect' else 'color',
-                               channels=args.channels, tile_size=args.tile,
-                               progress=True, return_timing=True)
+        if integ in ('raytracing', 'whitted_rt'):
+            import jax.numpy as jnp
+            import numpy as np
+            from .models import integrator_rt as IRT
+            N = meta.width * meta.height
+            timing = {'total_s': 0.0, 'compile_s': 0.0}
+            tw0 = time.time()
+            img = np.asarray(IRT.ray_trace(scene, meta,
+                                           jnp.arange(N, dtype=jnp.int32)))
+            img = img.reshape(meta.height, meta.width, 4)[..., :args.channels]
+            timing['total_s'] = time.time() - tw0
+        elif integ == 'mlt':
+            # split_direct_indirect (main.cpp:139-145, 480-491): direct via
+            # QMC, indirect via Kelemen-MLT chains, summed
+            import numpy as np
+            from .models import kmlt, integrator_pt as IPT
+            tw0 = time.time()
+            direct, timing = R.render_qmc(scene, meta, spp=spp,
+                                          integrator='mispt', layer='direct',
+                                          channels=args.channels,
+                                          progress=True, return_timing=True)
+            indirect = kmlt.render_mlt(scene, meta, spp=spp,
+                                       render_layer=IPT.FB_INDIRECT,
+                                       channels=args.channels, progress=True)
+            img = np.asarray(direct) + np.asarray(indirect)
+            timing = {'total_s': time.time() - tw0, 'compile_s': 0.0}
+        elif args.qmc:
+            img, timing = R.render_qmc(scene, meta, spp=spp, integrator=integ,
+                                       layer=layer, channels=args.channels,
+                                       tile_size=args.tile,
+                                       progress=True, return_timing=True)
+        else:
+            img, timing = R.render(scene, meta, spp=spp, integrator=integ,
+                                   layer=layer,
+                                   channels=args.channels, tile_size=args.tile,
+                                   progress=True, return_timing=True)
         ms = (timing['total_s'] - timing['compile_s']) * 1000.0
         # keep the reference's timing line format so run_bench-style regexes work
-        tag = {'naivept': 'naivept', 'shadowpt': 'shadowpt', 'mispt': 'mispt'}[integ]
+        tag = {'naivept': 'naivept', 'shadowpt': 'shadowpt',
+               'mispt': 'mispt'}.get(integ, integ)
         print(f'{name}Block({tag.upper() if integ=="mispt" else tag}) = {ms:.2f} ms')
         print(f'PathTraceBlock(exec) = {ms:.2f} ms')
 

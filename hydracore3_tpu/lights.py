@@ -23,23 +23,26 @@ from .scene.build import (
 
 
 def gather_light(scene: Scene, light_id):
-    lid = jnp.clip(light_id, 0, scene.light_pos.shape[0] - 1)
+    """Fetch per-ray light rows from the packed tables (clight.h LightSource
+    SoA): one f32 row [72] + one i32 row [16] instead of ~22 gathers."""
+    from .bsdf.dispatch import _fetch_rows
+    L = scene.light_packed_f32.shape[0]
+    lid = jnp.clip(light_id, 0, L - 1)
+    f = _fetch_rows(scene.light_packed_f32, lid, L)
+    ints = scene.light_packed_i32[lid]
+    sh = f.shape[:-1]
     return dict(
-        pos=scene.light_pos[lid], norm=scene.light_norm[lid],
-        intensity=scene.light_intensity[lid], matrix=scene.light_matrix[lid],
-        ies_matrix=scene.light_ies_matrix[lid],
-        sam_row0=scene.light_sam_row0[lid], sam_row1=scene.light_sam_row1[lid],
-        sam_row0_inv=scene.light_sam_row0_inv[lid],
-        sam_row1_inv=scene.light_sam_row1_inv[lid],
-        size=scene.light_size[lid], pdf_a=scene.light_pdf_a[lid],
-        geom_type=scene.light_geom_type[lid], dist_type=scene.light_dist_type[lid],
-        flags=scene.light_flags[lid],
-        pdf_table_offset=scene.light_pdf_table_offset[lid],
-        pdf_table_size_x=scene.light_pdf_table_size_x[lid],
-        pdf_table_size_y=scene.light_pdf_table_size_y[lid],
-        spec_id=scene.light_spec_id[lid], tex_id=scene.light_tex_id[lid],
-        ies_id=scene.light_ies_id[lid], mult=scene.light_mult[lid],
-        cos1=scene.light_cos1[lid], cos2=scene.light_cos2[lid])
+        pos=f[..., 0:4], norm=f[..., 4:8], intensity=f[..., 8:12],
+        matrix=f[..., 12:28].reshape(sh + (4, 4)),
+        ies_matrix=f[..., 28:44].reshape(sh + (4, 4)),
+        sam_row0=f[..., 44:48], sam_row1=f[..., 48:52],
+        sam_row0_inv=f[..., 52:56], sam_row1_inv=f[..., 56:60],
+        size=f[..., 60:62], pdf_a=f[..., 62], mult=f[..., 63],
+        cos1=f[..., 64], cos2=f[..., 65],
+        geom_type=ints[..., 0], dist_type=ints[..., 1], flags=ints[..., 2],
+        pdf_table_offset=ints[..., 3],
+        pdf_table_size_x=ints[..., 4], pdf_table_size_y=ints[..., 5],
+        spec_id=ints[..., 6], tex_id=ints[..., 7], ies_id=ints[..., 8])
 
 
 def _sample_map_2d(scene: Scene, rands3, table_offset, size_x, size_y):

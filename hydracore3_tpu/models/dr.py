@@ -64,8 +64,8 @@ def pixel_loss(params, scene: Scene, meta: SceneMeta, setup: DiffTexSetup,
     Returns (loss_sum, (contrib, new_rng)).
     """
     scene2 = scene_with_params(scene, setup, params)
-    contrib, new_rng = R._one_sample(scene2, meta, rng_state, pixel_ids,
-                                     integrator_type, IPT.FB_COLOR, 4)
+    contrib, new_rng, _ = R._one_sample(scene2, meta, rng_state, pixel_ids,
+                                        integrator_type, IPT.FB_COLOR, 4)
     diff = contrib[..., :3] - ref_pixels[..., :3]
     loss = jnp.sum(diff * diff)
     return loss, (contrib, new_rng)

@@ -79,13 +79,44 @@ class RayState(NamedTuple):
     hit_inst: jnp.ndarray      # [N] i32
 
 
-def sample_camera_ray(scene: Scene, meta: SceneMeta, rng_state, xs, ys):
-    """SampleCameraRay (integrator_pt.cpp:44-126): pixel jitter + thin lens."""
+def sample_camera_ray(scene: Scene, meta: SceneMeta, rng_state, xs, ys,
+                      qmc_ctx=None):
+    """SampleCameraRay (integrator_pt.cpp:44-126): pixel jitter + thin lens.
+
+    With ``qmc_ctx`` (IntegratorQMC, mlt/integrator_qmc.cpp:148-216): the
+    pixel position itself comes from QMC dims 0/1 and is RETURNED for
+    scatter-style contribution; lens dims 2/3 replace the DoF randoms.
+    """
     rng_state, pixel_offsets = RNG.rnd_lens(rng_state)
-    fx = xs.astype(jnp.float32) + pixel_offsets[..., 0]
-    fy = ys.astype(jnp.float32) + pixel_offsets[..., 1]
-    x_norm = fx / float(meta.width)
-    y_norm = fy / float(meta.height)
+    if qmc_ctx is not None and 'mlt_rands' in qmc_ctx:
+        # Kelemen MLT: all randoms served from the chain's primary-sample
+        # vector (IntegratorKMLT::GetRandomNumbers*, integrator_kmlt.cpp:87-151)
+        mr = qmc_ctx['mlt_rands']
+        pixel_offsets = mr[..., 0:4]
+        x_norm = pixel_offsets[..., 0]
+        y_norm = pixel_offsets[..., 1]
+        xs = jnp.minimum((x_norm * meta.width).astype(jnp.int32), meta.width - 1)
+        ys = jnp.minimum((y_norm * meta.height).astype(jnp.int32), meta.height - 1)
+    elif qmc_ctx is not None:
+        from ..ops import qmc as QMC
+        table, idx = qmc_ctx['table'], qmc_ctx['idx']
+        ox = QMC.rnd_float(table, idx, 0)
+        oy = QMC.rnd_float(table, idx, 1)
+        if meta.cam_lens_radius > 0.0:
+            oz = QMC.rnd_float(table, idx, 2)
+            ow = QMC.rnd_float(table, idx, 3)
+        else:
+            oz, ow = pixel_offsets[..., 2], pixel_offsets[..., 3]
+        pixel_offsets = jnp.stack([ox, oy, oz, ow], -1)
+        x_norm = pixel_offsets[..., 0]
+        y_norm = pixel_offsets[..., 1]
+        xs = jnp.minimum((x_norm * meta.width).astype(jnp.int32), meta.width - 1)
+        ys = jnp.minimum((y_norm * meta.height).astype(jnp.int32), meta.height - 1)
+    else:
+        fx = xs.astype(jnp.float32) + pixel_offsets[..., 0]
+        fy = ys.astype(jnp.float32) + pixel_offsets[..., 1]
+        x_norm = fx / float(meta.width)
+        y_norm = fy / float(meta.height)
 
     ray_dir = LM.eye_ray_dir_normalized(x_norm, y_norm, scene.proj_inv)
     ray_pos = jnp.zeros_like(ray_dir)
@@ -98,22 +129,33 @@ def sample_camera_ray(scene: Scene, meta: SceneMeta, rng_state, xs, ys):
         ray_pos = ray_pos.at[..., 0].add(xy[..., 0]).at[..., 1].add(xy[..., 1])
         ray_dir = LM.normalize(focus_pos - ray_pos)
 
-    time = jnp.zeros_like(fx)
+    time = jnp.zeros_like(x_norm)
     if meta.has_motion:
         rng_state, time = RNG.rnd_time(rng_state)
-    wave_sam = jnp.ones_like(fx)
+    wave_sam = jnp.ones_like(x_norm)
     if meta.spectral_mode:
         rng_state, wave_sam = RNG.rnd_spec(rng_state)
-    return rng_state, ray_pos, ray_dir, time, wave_sam
+        if qmc_ctx is not None and 'mlt_rands' in qmc_ctx:
+            wave_sam = qmc_ctx['mlt_rands'][..., 4]
+        elif qmc_ctx is not None and qmc_ctx.get('spd_dim', 0):
+            from ..ops import qmc as QMC
+            wave_sam = QMC.rnd_float(qmc_ctx['table'], qmc_ctx['idx'],
+                                     qmc_ctx['spd_dim'])
+    return rng_state, ray_pos, ray_dir, time, wave_sam, xs, ys
 
 
-def kernel_init_eye_ray(scene: Scene, meta: SceneMeta, rng_state, pixel_ids):
-    """kernel_InitEyeRay2 (integrator_pt.cpp:129-157)."""
+def kernel_init_eye_ray(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
+                        qmc_ctx=None):
+    """kernel_InitEyeRay2 (integrator_pt.cpp:129-157).
+
+    Returns (state, out_pixel_ids) — out ids differ from input under QMC.
+    """
     N = pixel_ids.shape[0]
     xs = pixel_ids % meta.width
     ys = pixel_ids // meta.width
-    rng_state, ray_pos, ray_dir, time, wave_sam = sample_camera_ray(
-        scene, meta, rng_state, xs, ys)
+    rng_state, ray_pos, ray_dir, time, wave_sam, xs, ys = sample_camera_ray(
+        scene, meta, rng_state, xs, ys, qmc_ctx)
+    out_pixel_ids = ys * meta.width + xs
 
     if meta.spectral_mode:
         wavelengths = SPEC.sample_wavelengths(wave_sam)
@@ -134,7 +176,7 @@ def kernel_init_eye_ray(scene: Scene, meta: SceneMeta, rng_state, pixel_ids):
         hit_pos=zeros3, hit_norm=zeros3, hit_tang=zeros3,
         hit_uv=jnp.zeros((N, 2), jnp.float32),
         hit_dist=jnp.zeros((N,), jnp.float32),
-        hit_inst=jnp.zeros((N,), jnp.int32))
+        hit_inst=jnp.zeros((N,), jnp.int32)), out_pixel_ids
 
 
 def _remap_material_id(scene: Scene, mat_id, inst_id):
@@ -185,31 +227,26 @@ def kernel_ray_trace(scene: Scene, meta: SceneMeta, state: RayState, bounce: int
             state.ray_pos, state.ray_dir, t_min, t_max)
 
     found = hit.geom_id >= 0
-    geom = jnp.maximum(hit.geom_id, 0)
-    mv_off = scene.mat_vert_offset[geom]          # [N,2]
-    tri_off, vert_off = mv_off[..., 0], mv_off[..., 1]
     hit_pos = state.ray_pos + (hit.t * (1.0 - 1e-6))[..., None] * state.ray_dir
 
-    prim = jnp.maximum(hit.prim_id, 0)
-    ia = scene.tri_indices[(tri_off + prim) * 3 + 0] + vert_off
-    ib = scene.tri_indices[(tri_off + prim) * 3 + 1] + vert_off
-    ic = scene.tri_indices[(tri_off + prim) * 3 + 2] + vert_off
+    # baked world-space shading row: ONE gather [T,24] instead of
+    # tri_indices x3 + vdata x3 + norm_matrix (the reference's layout,
+    # integrator_pt.cpp:263-292, kept in scene.vdata for the two-level/
+    # motion path; gathers dominate the TPU profile)
+    soup = jnp.maximum(hit.soup_id, 0)
+    shade = scene.tri_shade[soup]                  # [N,24]
     # CRT coords: u = weight(B), v = weight(C); barycentric lerp matching
     # integrator_pt.cpp:270-271 (data = (1-u-v)*A + u*B + v*C)
     wa = (1.0 - hit.u - hit.v)[..., None]
     wb = hit.u[..., None]
     wc = hit.v[..., None]
-    va, vb, vc = scene.vdata[ia], scene.vdata[ib], scene.vdata[ic]
-    data = wa * va + wb * vb + wc * vc             # [N,8]
+    data = wa * shade[..., 0:8] + wb * shade[..., 8:16] + wc * shade[..., 16:24]
     hit_norm = data[..., 0:3]
     hit_tang = data[..., 4:7]
     hit_uv = jnp.stack([data[..., 3], data[..., 7]], -1)
 
-    inst = jnp.maximum(hit.inst_id, 0)
-    nm = scene.norm_matrices[inst]
-    hit_norm = LM.mul3x3(nm, hit_norm)
-    hit_tang = LM.mul3x3(nm, hit_tang)
-    # TODO(motion blur): second normal-matrix set lerped by time
+    # TODO(motion blur): second normal-matrix set lerped by time via the
+    # two-level path
     hit_norm = LM.normalize(hit_norm)
     hit_tang = LM.normalize(hit_tang)
 
@@ -221,8 +258,7 @@ def kernel_ray_trace(scene: Scene, meta: SceneMeta, state: RayState, bounce: int
     inv_flag = jnp.uint32(C.RAY_FLAG_HAS_INV_NORMAL)
     flags = jnp.where(flip < 0.0, flags | inv_flag, flags & ~inv_flag)
 
-    mid_orig = scene.mat_id_by_prim[tri_off + prim]
-    mid = _remap_material_id(scene, mid_orig, hit.inst_id)
+    mid = scene.tri_mat_id[soup]   # remap lists pre-applied at build
     flags_hit = _pack_mat_id(flags, mid)
 
     miss_add = jnp.uint32(C.RAY_FLAG_IS_DEAD | C.RAY_FLAG_OUT_OF_SCENE
@@ -242,7 +278,8 @@ def kernel_ray_trace(scene: Scene, meta: SceneMeta, state: RayState, bounce: int
 
 
 def kernel_sample_light_source(scene: Scene, meta: SceneMeta, state: RayState,
-                               bounce: int, integrator_type: int, render_layer: int):
+                               bounce: int, integrator_type: int, render_layer: int,
+                               qmc_ctx=None):
     """kernel_SampleLightSource (integrator_pt.cpp:350-424).
 
     Returns (shade_color [N,4], new_rng).
@@ -250,6 +287,18 @@ def kernel_sample_light_source(scene: Scene, meta: SceneMeta, state: RayState,
     N = state.ray_pos.shape[0]
     live = ~_is_dead(state.flags)
     rng_state, rands = RNG.rnd_lgts(state.rng, live)
+    if qmc_ctx is not None and 'mlt_rands' in qmc_ctx:
+        mr = qmc_ctx['mlt_rands']
+        b_dyn = qmc_ctx.get('bounce_dyn', bounce)
+        off = 6 + b_dyn * 10 + 0   # BOUNCE_START + b*PER_BOUNCE + LGHT_ID
+        rands = jax.lax.dynamic_slice_in_dim(mr, off, 4, axis=-1)
+    elif qmc_ctx is not None and bounce == 0 and qmc_ctx.get('lgt_dim', 0):
+        from ..ops import qmc as QMC
+        table, idx, d0 = qmc_ctx['table'], qmc_ctx['idx'], qmc_ctx['lgt_dim']
+        rands = jnp.stack([QMC.rnd_float(table, idx, d0),
+                           QMC.rnd_float(table, idx, d0 + 1),
+                           rands[..., 2],
+                           QMC.rnd_float(table, idx, d0 + 2)], -1)
     if meta.num_lights == 0:
         return jnp.zeros((N, 4), jnp.float32), rng_state
 
@@ -313,26 +362,28 @@ def kernel_sample_light_source(scene: Scene, meta: SceneMeta, state: RayState,
 
 
 def kernel_next_bounce(scene: Scene, meta: SceneMeta, state: RayState, bounce: int,
-                       shade_color, integrator_type: int, render_layer: int
-                       ) -> RayState:
+                       shade_color, integrator_type: int, render_layer: int,
+                       qmc_ctx=None) -> RayState:
     """kernel_NextBounce (integrator_pt.cpp:426-548)."""
     live = ~_is_dead(state.flags)
     mat_id = _extract_mat_id(state.flags)
-    md_mtype = scene.mat_mtype[mat_id]
+    md = MAT.gather_material(scene, mat_id)
+    md_mtype = md['mtype']
     is_light_mat = md_mtype == jnp.uint32(MAT_TYPE_LIGHT_SOURCE)
 
     # ---- light-hit branch (integrator_pt.cpp:461-506) ----------------------
-    tc_t = LM.mul_rows_2x4(scene.mat_row0[mat_id][..., 0, :],
-                           scene.mat_row1[mat_id][..., 0, :], state.hit_uv)
-    texid = scene.mat_texid[mat_id][..., 0]
+    tc_t = LM.mul_rows_2x4(md['row0'][..., 0, :], md['row1'][..., 0, :],
+                           state.hit_uv)
+    texid = md['texid'][..., 0]
     tex_color = TEX.sample(scene.textures, MAT._clamp_tex(scene, texid), tc_t)
     light_id = scene.remap_inst[jnp.clip(state.hit_inst, 0, scene.remap_inst.shape[0] - 1), 1]
-    emiss = scene.mat_colors[mat_id][..., EMISSION_COLOR, :]
+    emiss = md['colors'][..., EMISSION_COLOR, :]
     light_intensity = emiss * tex_color
 
     has_light = light_id >= 0
-    ld_norm = LGT.gather_light(scene, light_id)['norm'][..., :3]
-    lgt_geom = LGT.gather_light(scene, light_id)['geom_type']
+    ld_hit = LGT.gather_light(scene, light_id)
+    ld_norm = ld_hit['norm'][..., :3]
+    lgt_geom = ld_hit['geom_type']
     light_cos = LM.dot(state.ray_dir, ld_norm)
     atten = jnp.where((light_cos < 0.0) | (lgt_geom == LIGHT_GEOM_SPHERE), 1.0, 0.0)
     li_from_light = LGT.light_intensity(scene, meta, light_id, state.wavelengths,
@@ -362,10 +413,23 @@ def kernel_next_bounce(scene: Scene, meta: SceneMeta, state: RayState, bounce: i
 
     # ---- surface branch: sample BSDF --------------------------------------
     surf_live = live & ~is_light_mat
+    mats_override = None
+    mats_override_full = None
+    if qmc_ctx is not None and 'mlt_rands' in qmc_ctx:
+        mr = qmc_ctx['mlt_rands']
+        b_dyn = qmc_ctx.get('bounce_dyn', bounce)
+        off = 6 + b_dyn * 10 + 4   # MATS_ID
+        mats_override_full = jax.lax.dynamic_slice_in_dim(mr, off, 4, axis=-1)
+    elif qmc_ctx is not None and bounce == 0 and qmc_ctx.get('mat_dim', 0):
+        from ..ops import qmc as QMC
+        table, idx, d0 = qmc_ctx['table'], qmc_ctx['idx'], qmc_ctx['mat_dim']
+        mats_override = jnp.stack([QMC.rnd_float(table, idx, d0),
+                                   QMC.rnd_float(table, idx, d0 + 1)], -1)
     mat_sam, rng_state, new_ior = MAT.material_sample_and_eval(
         scene, meta, mat_id, state.wavelengths, state.rng, surf_live,
         -state.ray_dir, state.hit_norm, state.hit_tang, state.hit_uv,
-        state.mis_ior, state.flags)
+        state.mis_ior, state.flags, rnd_mats_override=mats_override,
+        rnd_mats_override_full=mats_override_full)
 
     bxdf_val = mat_sam['val'] / jnp.maximum(mat_sam['pdf'], 1e-20)[..., None]
     cos_theta = jnp.abs(LM.dot(mat_sam['dir'], state.hit_norm))
@@ -444,46 +508,45 @@ def kernel_hit_environment(scene: Scene, meta: SceneMeta, state: RayState,
 
 def trace_pass(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
                integrator_type: int = INTEGRATOR_MIS_PT,
-               render_layer: int = FB_COLOR):
+               render_layer: int = FB_COLOR, qmc_ctx=None):
     """One full sample per pixel id. Returns (accum_color [N,4],
-    wavelengths [N,4], flags [N], new rng_state).
+    wavelengths [N,4], flags [N], new rng_state, out_pixel_ids).
 
-    Mirrors PathTrace/NaivePathTrace (integrator_pt.cpp:681-759).
+    Mirrors PathTrace/NaivePathTrace (integrator_pt.cpp:681-759); with
+    qmc_ctx it is the IntegratorQMC variant (mlt/integrator_qmc.cpp).
     """
-    state = kernel_init_eye_ray(scene, meta, rng_state, pixel_ids)
+    state, out_pixels = kernel_init_eye_ray(scene, meta, rng_state, pixel_ids,
+                                            qmc_ctx)
 
     depth = meta.trace_depth + (1 if integrator_type == INTEGRATOR_STUPID_PT else 0)
 
-    def bounce_body(b, state):
+    is_mlt = qmc_ctx is not None and 'mlt_rands' in qmc_ctx
+
+    def bounce_body(b, state, b_dyn=None):
+        ctx = qmc_ctx if (b == 0 or is_mlt) else None
+        if is_mlt and b_dyn is not None:
+            ctx = dict(qmc_ctx, bounce_dyn=b_dyn)
         state = kernel_ray_trace(scene, meta, state, bounce=b)
         if integrator_type != INTEGRATOR_STUPID_PT:
             shade, rng2 = kernel_sample_light_source(
-                scene, meta, state, b, integrator_type, render_layer)
+                scene, meta, state, b, integrator_type, render_layer, ctx)
             state = state._replace(rng=rng2)
         else:
             shade = jnp.zeros_like(state.accum_color)
         state = kernel_next_bounce(scene, meta, state, b, shade,
-                                   integrator_type, render_layer)
+                                   integrator_type, render_layer, ctx)
         return state
 
     # bounce 0 unrolled so the static `bounce == 0` branches (prime-ray miss,
-    # emissive MIS) specialize; remaining bounces share one traced body.
+    # emissive MIS, QMC dims) specialize; remaining bounces share one body.
     state = bounce_body(0, state)
 
     def body_fn(i, st):
-        st = kernel_ray_trace(scene, meta, st, bounce=1)
-        if integrator_type != INTEGRATOR_STUPID_PT:
-            shade, rng2 = kernel_sample_light_source(
-                scene, meta, st, 1, integrator_type, render_layer)
-            st = st._replace(rng=rng2)
-        else:
-            shade = jnp.zeros_like(st.accum_color)
-        st = kernel_next_bounce(scene, meta, st, 1, shade,
-                                integrator_type, render_layer)
-        return st
+        return bounce_body(1, st, b_dyn=i)
 
     if depth > 1:
         state = jax.lax.fori_loop(1, depth, body_fn, state)
 
     state = kernel_hit_environment(scene, meta, state, integrator_type)
-    return state.accum_color, state.wavelengths, state.flags, state.rng
+    return (state.accum_color, state.wavelengths, state.flags, state.rng,
+            out_pixels)

@@ -37,13 +37,16 @@ LAYER_BY_NAME = {
 
 
 def _one_sample(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
-                integrator_type: int, render_layer: int, channels: int):
-    """One sample for each pixel id; returns (contrib [N, C], rng_state).
+                integrator_type: int, render_layer: int, channels: int,
+                qmc_ctx=None):
+    """One sample for each pixel id; returns (contrib [N, C], rng_state,
+    out_pixels).
 
     The spectral->RGB conversion is kernel_ContributeToImage
     (integrator_pt.cpp:598-657) / SpectralCamRespoceToRGB."""
-    accum, wavelengths, flags, rng_state = IPT.trace_pass(
-        scene, meta, rng_state, pixel_ids, integrator_type, render_layer)
+    accum, wavelengths, flags, rng_state, out_pixels = IPT.trace_pass(
+        scene, meta, rng_state, pixel_ids, integrator_type, render_layer,
+        qmc_ctx)
 
     if channels == 1:
         contrib = accum[..., :1] * meta.exposure_mult
@@ -56,7 +59,7 @@ def _one_sample(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
     else:
         tmp = accum * scene.cam_response_rgb
         contrib = (tmp * meta.exposure_mult)[..., :channels]
-    return contrib, rng_state
+    return contrib, rng_state, out_pixels
 
 
 @functools.partial(jax.jit, static_argnames=('meta', 'integrator_type',
@@ -69,14 +72,111 @@ def _render_tile(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
     loop, integrator_pt.cpp:721-723). Returns (sum contrib [N, C], rng)."""
     def body(_, carry):
         fb, rng = carry
-        contrib, rng = _one_sample(scene, meta, rng, pixel_ids,
-                                   integrator_type, render_layer, channels)
+        contrib, rng, _ = _one_sample(scene, meta, rng, pixel_ids,
+                                      integrator_type, render_layer, channels)
         return fb + contrib, rng
 
     fb0 = jnp.zeros(pixel_ids.shape + (channels,), jnp.float32)
     if n_iters == 1:
         return body(0, (fb0, rng_state))
     return jax.lax.fori_loop(0, n_iters, body, (fb0, rng_state))
+
+
+@functools.partial(jax.jit, static_argnames=('meta', 'integrator_type',
+                                             'render_layer', 'channels',
+                                             'spd_dim', 'mat_dim', 'lgt_dim'))
+def _render_tile_qmc(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
+                     sample_idx, qmc_table, integrator_type: int,
+                     render_layer: int, channels: int,
+                     spd_dim: int, mat_dim: int, lgt_dim: int):
+    """QMC pass: sample index drives the Sobol dims; contributions are
+    scatter-added to the QMC-chosen pixels (the reference's atomics,
+    integrator_qmc.cpp:252-281). Returns (fb [N, C], rng)."""
+    qmc_ctx = dict(table=qmc_table, idx=sample_idx,
+                   spd_dim=spd_dim, mat_dim=mat_dim, lgt_dim=lgt_dim)
+    contrib, rng, out_px = _one_sample(scene, meta, rng_state, pixel_ids,
+                                       integrator_type, render_layer, channels,
+                                       qmc_ctx)
+    fb = jnp.zeros((meta.width * meta.height, channels), jnp.float32)
+    fb = fb.at[out_px].add(contrib)
+    return fb, rng
+
+
+def _qmc_dims(meta: SceneMeta):
+    """EnableQMC dim assignment (mlt/integrator_qmc.cpp:28-86).
+
+    Returns (spd_dim, mat_dim, lgt_dim); dims 0/1 are always pixel position,
+    2/3 lens when DoF is on.
+    """
+    dof = meta.cam_lens_radius > 0.0
+    spd = meta.spectral_mode
+    motion = meta.has_motion
+    if dof and spd and motion:
+        return 4, 0, 0
+    if dof and spd:
+        return 4, 5, 7
+    if spd and motion:
+        return 3, 4, 6
+    if dof and motion:
+        return 0, 5, 7
+    if dof:
+        return 0, 4, 6
+    if spd:
+        return 4, 2, 5
+    if motion:
+        return 0, 2, 5
+    return 0, 2, 4
+
+
+def render_qmc(scene: Scene, meta: SceneMeta, spp: int = None,
+               integrator: str = 'mispt', layer: str = 'color',
+               channels: int = 4, tile_size: int = 1 << 17,
+               progress: bool = False, return_timing: bool = False):
+    """QMC (Sobol/Niederreiter) render: IntegratorQMC::PathTraceBlock
+    (mlt/integrator_qmc.cpp:284-315). Pixels come from QMC dims 0/1, so
+    each pass scatters N samples over the whole framebuffer."""
+    from .ops import qmc as QMC
+    spp = spp or meta.spp
+    itype = INTEGRATOR_BY_NAME[integrator]
+    rlayer = LAYER_BY_NAME[layer]
+    W, H = meta.width, meta.height
+    N = W * H
+    spd_dim, mat_dim, lgt_dim = _qmc_dims(meta)
+    table = jnp.asarray(QMC.nied_table())
+
+    n_tiles = -(-N // tile_size)
+    tile = min(tile_size, N)
+    pixel_ids = jnp.zeros((tile,), jnp.int32)  # unused under QMC
+    rng_dev = [RNG.gen_init(jnp.arange(t * tile, (t + 1) * tile))
+               for t in range(n_tiles)]
+    fb_dev = None
+
+    t0 = _time.time()
+    compile_time = 0.0
+    sample_base = 0
+    for p in range(spp):
+        for t in range(n_tiles):
+            idx = (jnp.arange(tile, dtype=jnp.uint32)
+                   + jnp.uint32(sample_base))
+            tc0 = _time.time()
+            fb_t, rng_dev[t] = _render_tile_qmc(
+                scene, meta, rng_dev[t], pixel_ids, idx, table,
+                itype, rlayer, channels, spd_dim, mat_dim, lgt_dim)
+            fb_dev = fb_t if fb_dev is None else fb_dev + fb_t
+            if p == 0 and t == 0:
+                fb_t.block_until_ready()
+                compile_time = _time.time() - tc0
+            sample_base += tile
+        if progress:
+            print(f'rendering, progress = {100.0 * (p + 1) / spp:.2f} %', end='\r')
+    if progress:
+        print()
+    total = _time.time() - t0
+    img = (np.asarray(fb_dev) / float(spp)).reshape(H, W, channels)
+    if return_timing:
+        return img, dict(total_s=total, compile_s=compile_time, spp=spp,
+                         rays=N * spp)
+    return img
 
 
 def render(scene: Scene, meta: SceneMeta, spp: int = None,

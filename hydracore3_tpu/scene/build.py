@@ -577,6 +577,13 @@ class Scene:
     bvh_tri_offset: jnp.ndarray # [M] i32
     bvh_tri_count: jnp.ndarray  # [M] i32
 
+    # per-triangle baked shading rows: world-space corner normals/tangents/uv
+    # packed as [T, 24] = 3 x (norm3, tx, tang3, ty); plus pre-remapped
+    # material ids. ONE gather per hit replaces 7 (tri_indices x3, vdata x3,
+    # norm_matrix) — gathers dominate the TPU profile.
+    tri_shade: jnp.ndarray      # [T,24] f32
+    tri_mat_id: jnp.ndarray     # [T] i32 (remap lists already applied)
+
     # geometry: world-space triangle soup (flattened instances, BVH leaf order)
     tri_v0: jnp.ndarray         # [T,3] f32 world-space
     tri_e1: jnp.ndarray         # [T,3] (v1-v0)
@@ -622,6 +629,14 @@ class Scene:
 
     # CIE response curves for spectral mode [(L),4] (x,y,z,0)
     cie_xyz: jnp.ndarray
+
+    # packed per-row tables: ONE fetch per material/light instead of ~10/25
+    # scattered gathers (gathers dominate the TPU profile; small tables are
+    # fetched as one-hot matmuls on the MXU)
+    mat_packed_f32: jnp.ndarray   # [M, 64]: colors(16) row0(16) row1(16) data(16)
+    mat_packed_i32: jnp.ndarray   # [M, 16]: mtype cflags nonlinear pad texid4 spdid4 datai4 pad
+    light_packed_f32: jnp.ndarray # [L, 96]
+    light_packed_i32: jnp.ndarray # [L, 16]
 
 
 def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False,
@@ -916,15 +931,18 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
 
     # ---- instances (LoadSceneInstances, integrator_pt_scene.cpp:839-907) --
     instances = xml.instances_geom()
+    remap_lists_raw = xml.remap_lists()
     norm_matrices = []
     remap_inst = []
     tri_v0, tri_e1, tri_e2 = [], [], []
     tri_inst_id, tri_geom_id, tri_prim_id = [], [], []
+    tri_shade_l, tri_mat_l = [], []
     has_motion = any(i.has_motion for i in instances)
     for real_id, inst in enumerate(instances):
         mesh = meshes[inst.geom_id]
         m = inst.matrix
-        norm_matrices.append(np.linalg.inv(m).T.astype(np.float32))
+        nm = np.linalg.inv(m).T.astype(np.float32)
+        norm_matrices.append(nm)
         light_id = old_to_new_light.get(inst.light_inst_id, -1) if inst.light_inst_id >= 0 else -1
         remap_inst.append((inst.rmap_id, light_id))
         # world-space soup
@@ -941,6 +959,25 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         tri_geom_id.append(np.full(nt, inst.geom_id, np.int32))
         tri_prim_id.append(np.arange(nt, dtype=np.int32))
 
+        # baked per-triangle shading rows (world-space, see Scene.tri_shade)
+        wnorm = mesh.v_norm[:, :3] @ nm[:3, :3].T
+        wtang = mesh.v_tang[:, :3] @ nm[:3, :3].T
+        shade = np.zeros((nt, 24), np.float32)
+        for c in range(3):
+            vi = idx[:, c]
+            shade[:, c * 8 + 0:c * 8 + 3] = wnorm[vi]
+            shade[:, c * 8 + 3] = mesh.v_texc[vi, 0]
+            shade[:, c * 8 + 4:c * 8 + 7] = wtang[vi]
+            shade[:, c * 8 + 7] = mesh.v_texc[vi, 1]
+        tri_shade_l.append(shade)
+        # material ids with the instance's remap list applied at build time
+        mids = mesh.mat_indices.astype(np.int64)
+        if inst.rmap_id >= 0 and inst.rmap_id < len(remap_lists_raw):
+            rl = remap_lists_raw[inst.rmap_id]
+            remap = {rl[i]: rl[i + 1] for i in range(0, len(rl) - 1, 2)}
+            mids = np.array([remap.get(int(x), int(x)) for x in mids], np.int64)
+        tri_mat_l.append(mids.astype(np.int32))
+
     # ---- acceleration structure (CommitScene analog) ----------------------
     from ..accel import build_bvh
     soup_v0 = np.concatenate(tri_v0) if tri_v0 else np.zeros((0, 3), np.float32)
@@ -949,11 +986,15 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
     soup_inst = np.concatenate(tri_inst_id) if tri_inst_id else np.zeros(0, np.int32)
     soup_geom = np.concatenate(tri_geom_id) if tri_geom_id else np.zeros(0, np.int32)
     soup_prim = np.concatenate(tri_prim_id) if tri_prim_id else np.zeros(0, np.int32)
+    soup_shade = (np.concatenate(tri_shade_l) if tri_shade_l
+                  else np.zeros((0, 24), np.float32))
+    soup_mat = np.concatenate(tri_mat_l) if tri_mat_l else np.zeros(0, np.int32)
     if len(soup_v0) > 0:
         bvh = build_bvh.build(soup_v0, soup_e1, soup_e2)
         order = bvh.order
         soup_v0, soup_e1, soup_e2 = soup_v0[order], soup_e1[order], soup_e2[order]
         soup_inst, soup_geom, soup_prim = soup_inst[order], soup_geom[order], soup_prim[order]
+        soup_shade, soup_mat = soup_shade[order], soup_mat[order]
         bvh_arrays = (bvh.bmin, bvh.bmax, bvh.skip, bvh.tri_offset, bvh.tri_count)
     else:
         bvh_arrays = (np.zeros((1, 3), np.float32), np.zeros((1, 3), np.float32),
@@ -979,6 +1020,50 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
     cie = spec_mod.cie_xyz_table()
 
     pool = tc.pool.finish()
+
+    # ---- packed tables (gather-count optimization; see Scene docstring) ---
+    M_ = len(materials)
+    mat_pf = np.zeros((M_, 64), np.float32)
+    mat_pi = np.zeros((M_, 16), np.int32)
+    for i, m_ in enumerate(materials):
+        mat_pf[i, 0:16] = m_.colors.reshape(-1)
+        mat_pf[i, 16:32] = m_.row0.reshape(-1)
+        mat_pf[i, 32:48] = m_.row1.reshape(-1)
+        mat_pf[i, 48:64] = m_.data
+        mat_pi[i, 0] = np.int32(np.uint32(m_.mtype))
+        mat_pi[i, 1] = np.int32(np.uint32(m_.cflags))
+        mat_pi[i, 2] = m_.nonlinear
+        mat_pi[i, 4:8] = np.array(m_.texid, np.int64).astype(np.uint32).astype(np.int32)
+        mat_pi[i, 8:12] = np.array(m_.spdid, np.int64).astype(np.uint32).astype(np.int32)
+        mat_pi[i, 12:16] = np.array(m_.datai, np.int64).astype(np.uint32).astype(np.int32)
+
+    L_ = max(len(lights), 1)
+    lgt_pf = np.zeros((L_, 72), np.float32)
+    lgt_pi = np.zeros((L_, 16), np.int32)
+    for i, l in enumerate(lights):
+        lgt_pf[i, 0:4] = l['pos']
+        lgt_pf[i, 4:8] = l['norm']
+        lgt_pf[i, 8:12] = l['intensity']
+        lgt_pf[i, 12:28] = np.asarray(l['matrix'], np.float32).reshape(-1)
+        lgt_pf[i, 28:44] = np.asarray(l['ies_matrix'], np.float32).reshape(-1)
+        lgt_pf[i, 44:48] = l['sam_row0']
+        lgt_pf[i, 48:52] = l['sam_row1']
+        lgt_pf[i, 52:56] = l['sam_row0_inv']
+        lgt_pf[i, 56:60] = l['sam_row1_inv']
+        lgt_pf[i, 60:62] = l['size']
+        lgt_pf[i, 62] = l['pdf_a']
+        lgt_pf[i, 63] = l['mult']
+        lgt_pf[i, 64] = l['cos1']
+        lgt_pf[i, 65] = l['cos2']
+        lgt_pi[i, 0] = l['geom_type']
+        lgt_pi[i, 1] = l['dist_type']
+        lgt_pi[i, 2] = l['flags']
+        lgt_pi[i, 3] = l['pdf_table_offset']
+        lgt_pi[i, 4] = l['pdf_table_size_x']
+        lgt_pi[i, 5] = l['pdf_table_size_y']
+        lgt_pi[i, 6] = np.int32(np.uint32(l['spec_id'])) if l['spec_id'] >= 0 else -1
+        lgt_pi[i, 7] = l['tex_id']
+        lgt_pi[i, 8] = l['ies_id']
 
     def cat(xs, width=None, dtype=np.float32):
         if xs:
@@ -1025,6 +1110,8 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         bvh_skip=jnp.asarray(bvh_arrays[2]),
         bvh_tri_offset=jnp.asarray(bvh_arrays[3]),
         bvh_tri_count=jnp.asarray(bvh_arrays[4]),
+        tri_shade=jnp.asarray(soup_shade),
+        tri_mat_id=jnp.asarray(soup_mat),
         tri_v0=jnp.asarray(soup_v0),
         tri_e1=jnp.asarray(soup_e1),
         tri_e2=jnp.asarray(soup_e2),
@@ -1055,6 +1142,10 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         cam_response_rgb=jnp.asarray(np.array([1, 1, 1, 1], np.float32)),
         textures=pool,
         cie_xyz=jnp.asarray(cie),
+        mat_packed_f32=jnp.asarray(mat_pf),
+        mat_packed_i32=jnp.asarray(mat_pi),
+        light_packed_f32=jnp.asarray(lgt_pf),
+        light_packed_i32=jnp.asarray(lgt_pi),
     )
 
     meta = SceneMeta(

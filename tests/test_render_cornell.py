@@ -47,8 +47,8 @@ def test_mis_vs_shadow_consistency(cornell_scene):
     from hydracore3_tpu import render as R
     from hydracore3_tpu.utils.imageio import psnr
     scene, meta = cornell_scene
-    a = np.asarray(R.render(scene, meta, spp=160, integrator='mispt'))
-    b = np.asarray(R.render(scene, meta, spp=160, integrator='shadowpt'))
+    a = np.asarray(R.render(scene, meta, spp=96, integrator='mispt'))
+    b = np.asarray(R.render(scene, meta, spp=96, integrator='shadowpt'))
     la = np.clip(a[..., :3], 0, 1) ** (1 / 2.2) * 255
     lb = np.clip(b[..., :3], 0, 1) ** (1 / 2.2) * 255
     val = psnr(la, lb)
