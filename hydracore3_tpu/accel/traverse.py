@@ -34,7 +34,7 @@ class Hit(NamedTuple):
     soup_id: jnp.ndarray  # [N] i32 flat triangle index (for baked shade rows)
 
 
-def _moller_trumbore(ray_pos, ray_dir, v0, e1, e2, t_min, t_max):
+def _moller_trumbore(ray_pos, ray_dir, v0, e1, e2, t_min, t_max, motion=None):
     """Batched ray x tri intersection.
 
     ray_pos/dir: [N,3]; v0/e1/e2: [T,3]. Returns (hit_mask, t, u, v): [N,T].
@@ -42,12 +42,28 @@ def _moller_trumbore(ray_pos, ray_dir, v0, e1, e2, t_min, t_max):
     Written component-wise so every intermediate is a 2-D [N,T] array
     (maps to clean 8x128 VPU tiles); [N,T,3] temporaries are ~3x the HBM
     traffic and dominated the TPU profile.
+
+    ``motion``: optional (dv0, de1, de2, time) for motion blur — triangle
+    endpoints lerp per ray (RayQuery_NearestHitMotion, CrossRT.h:160-174);
+    time is [N].
     """
     dx, dy, dz = ray_dir[:, 0:1], ray_dir[:, 1:2], ray_dir[:, 2:3]
     px, py, pz = ray_pos[:, 0:1], ray_pos[:, 1:2], ray_pos[:, 2:3]
     e1x, e1y, e1z = e1[None, :, 0], e1[None, :, 1], e1[None, :, 2]
     e2x, e2y, e2z = e2[None, :, 0], e2[None, :, 1], e2[None, :, 2]
     v0x, v0y, v0z = v0[None, :, 0], v0[None, :, 1], v0[None, :, 2]
+    if motion is not None:
+        dv0, de1, de2, time = motion
+        tt = time[:, None]
+        v0x = v0x + tt * dv0[None, :, 0]
+        v0y = v0y + tt * dv0[None, :, 1]
+        v0z = v0z + tt * dv0[None, :, 2]
+        e1x = e1x + tt * de1[None, :, 0]
+        e1y = e1y + tt * de1[None, :, 1]
+        e1z = e1z + tt * de1[None, :, 2]
+        e2x = e2x + tt * de2[None, :, 0]
+        e2y = e2y + tt * de2[None, :, 1]
+        e2z = e2z + tt * de2[None, :, 2]
 
     # pvec = d x e2
     pvx = dy * e2z - dz * e2y
@@ -80,7 +96,7 @@ def _round_chunk(T, chunk):
 
 
 def intersect_brute(tri_v0, tri_e1, tri_e2, tri_inst, tri_geom, tri_prim,
-                    ray_pos, ray_dir, t_min, t_max, chunk=512):
+                    ray_pos, ray_dir, t_min, t_max, chunk=512, motion=None):
     """Nearest hit over all triangles, scanning chunks to bound memory."""
     T = tri_v0.shape[0]
     chunk = _round_chunk(T, chunk)
@@ -95,6 +111,10 @@ def intersect_brute(tri_v0, tri_e1, tri_e2, tri_inst, tri_geom, tri_prim,
         tri_inst = jnp.concatenate([tri_inst, padi])
         tri_geom = jnp.concatenate([tri_geom, padi])
         tri_prim = jnp.concatenate([tri_prim, padi])
+        if motion is not None:
+            motion = (jnp.concatenate([motion[0], padv]),
+                      jnp.concatenate([motion[1], padv]),
+                      jnp.concatenate([motion[2], padv]), motion[3])
 
     soup_ids = jnp.concatenate([
         jnp.arange(T, dtype=jnp.int32),
@@ -106,6 +126,11 @@ def intersect_brute(tri_v0, tri_e1, tri_e2, tri_inst, tri_geom, tri_prim,
     geomc = tri_geom.reshape(n_chunks, chunk)
     primc = tri_prim.reshape(n_chunks, chunk)
     soupc = soup_ids.reshape(n_chunks, chunk)
+    if motion is not None:
+        dv0c = motion[0].reshape(n_chunks, chunk, 3)
+        de1c = motion[1].reshape(n_chunks, chunk, 3)
+        de2c = motion[2].reshape(n_chunks, chunk, 3)
+        mtime = motion[3]
 
     N = ray_pos.shape[0]
     init = Hit(

@@ -254,6 +254,17 @@ def material_sample_and_eval(scene: Scene, meta: SceneMeta, mat_id, wavelengths,
             refl = refl * tex_color
         s = PLAST.sample_and_eval(scene, md, refl, rands, v, shade_normal)
         res = _merge(md['mtype'] == MAT_TYPE_PLASTIC, s, res)
+    if MAT_TYPE_THIN_FILM in types:
+        from . import film as FILM
+        s = FILM.sample_and_eval(scene, md, wavelengths, rands, v,
+                                 shade_normal, tc, mis_ior, ray_flags,
+                                 meta.spectral_mode, scene.textures,
+                                 tex_color[..., :3])
+        # films always diverge the hero wavelengths (integrator_pt_mat.cpp:248)
+        s['flags'] = s['flags'] | jnp.uint32(C.RAY_FLAG_WAVES_DIVERGED)
+        is_film = md['mtype'] == MAT_TYPE_THIN_FILM
+        res = _merge(is_film, s, res)
+        new_ior = jnp.where(is_film, s['ior'], new_ior)
 
     # bump cosine correction (integrator_pt_mat.cpp:298-303)
     if meta.has_bump:
@@ -344,6 +355,14 @@ def material_eval(scene: Scene, meta: SceneMeta, mat_id, wavelengths,
                 refl = refl * tex_color
             e = PLAST.eval(scene, md, refl, l, v, shade_normal)
             sel = md['mtype'] == MAT_TYPE_PLASTIC
+            val = jnp.where(sel[..., None], e['val'], val)
+            pdf = jnp.where(sel, e['pdf'], pdf)
+        if MAT_TYPE_THIN_FILM in types:
+            from . import film as FILM
+            e = FILM.eval(scene, md, wavelengths, l, v, shade_normal, tc,
+                          meta.spectral_mode, scene.textures,
+                          tex_color[..., :3])
+            sel = md['mtype'] == MAT_TYPE_THIN_FILM
             val = jnp.where(sel[..., None], e['val'], val)
             pdf = jnp.where(sel, e['pdf'], pdf)
 

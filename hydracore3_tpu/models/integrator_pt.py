@@ -79,6 +79,76 @@ class RayState(NamedTuple):
     hit_inst: jnp.ndarray      # [N] i32
 
 
+def _intersect_spherical_element(radius, z_center, pos, d):
+    """IntersectSphericalElement (integrator_pt.cpp:852-874), batched.
+
+    radius/z_center are python floats (static lens data). Returns (t, n, ok).
+    """
+    o = pos - jnp.array([0.0, 0.0, z_center], jnp.float32)
+    a = jnp.sum(d * d, -1)
+    b = 2.0 * jnp.sum(d * o, -1)
+    c = jnp.sum(o * o, -1) - radius * radius
+    disc = b * b - 4.0 * a * c
+    ok = disc >= 0.0
+    root = jnp.sqrt(jnp.maximum(disc, 0.0))
+    q = jnp.where(b < 0.0, -0.5 * (b - root), -0.5 * (b + root))
+    t0 = q / a
+    t1 = c / jnp.where(q == 0.0, 1e-20, q)
+    lo, hi = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+    use_closer = (d[..., 2] > 0.0) != (radius < 0.0)
+    t = jnp.where(use_closer, lo, hi)
+    ok = ok & (t >= 0.0)
+    n = LM.normalize(o + t[..., None] * d)
+    n = jnp.where((LM.dot(n, -d) < 0.0)[..., None], -n, n)  # faceforward
+    return t, n, ok
+
+
+def _refract_pbrt(wi, n, eta):
+    """Refract (integrator_pt.cpp:835-845): wi points AWAY from surface."""
+    cos_i = LM.dot(n, wi)
+    sin2_i = jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+    sin2_t = eta * eta * sin2_i
+    ok = sin2_t < 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    wt = eta * -wi + (eta * cos_i - cos_t)[..., None] * n
+    return wt, ok
+
+
+def trace_lenses_from_film(meta: SceneMeta, ray_pos, ray_dir):
+    """TraceLensesFromFilm (integrator_pt.cpp:876-938): the full spherical
+    lens stack, unrolled over the static element list. Returns
+    (pos, dir, ok) in camera space."""
+    flip = jnp.array([1.0, 1.0, -1.0], jnp.float32)
+    pos = ray_pos * flip
+    d = ray_dir * flip
+    ok = jnp.ones(pos.shape[:-1], bool)
+    lines = meta.lens_lines
+    element_z = 0.0
+    for i, (curv, thick, eta_i, aper) in enumerate(lines):
+        element_z -= thick
+        if curv == 0.0:  # aperture stop
+            ok = ok & (d[..., 2] < 0.0)
+            t = (element_z - pos[..., 2]) / jnp.where(d[..., 2] == 0.0, -1e-20,
+                                                      d[..., 2])
+            n = None
+        else:
+            t, n, hit = _intersect_spherical_element(curv, element_z + curv,
+                                                     pos, d)
+            ok = ok & hit
+        p_hit = pos + t[..., None] * d
+        r2 = p_hit[..., 0] ** 2 + p_hit[..., 1] ** 2
+        ok = ok & (r2 <= aper * aper)
+        pos = jnp.where(ok[..., None], p_hit, pos)
+        if curv != 0.0:
+            eta_t = lines[i + 1][2] if i + 1 < len(lines) else 1.0
+            if eta_t == 0.0:
+                eta_t = 1.0
+            wt, rok = _refract_pbrt(LM.normalize(-d), n, eta_i / eta_t)
+            ok = ok & rok
+            d = jnp.where(ok[..., None], wt, d)
+    return pos * flip, d * flip, ok
+
+
 def sample_camera_ray(scene: Scene, meta: SceneMeta, rng_state, xs, ys,
                       qmc_ctx=None):
     """SampleCameraRay (integrator_pt.cpp:44-126): pixel jitter + thin lens.
@@ -128,6 +198,25 @@ def sample_camera_ray(scene: Scene, meta: SceneMeta, rng_state, xs, ys,
             pixel_offsets[..., 2:4] - 0.5)
         ray_pos = ray_pos.at[..., 0].add(xy[..., 0]).at[..., 1].add(xy[..., 1])
         ray_dir = LM.normalize(focus_pos - ray_pos)
+    elif len(meta.lens_lines) > 0:
+        # optics simulator (SampleCameraRay, integrator_pt.cpp:78-103):
+        # film point from pixel coords, shoot at the rear lens element,
+        # trace the full stack; failed rays shoot under the floor.
+        fx = 0.25 * meta.phys_size[0] * (2.0 * x_norm - 1.0)
+        fy = 0.25 * meta.phys_size[1] * (2.0 * y_norm - 1.0)
+        film_pos = jnp.stack([fx, fy, jnp.zeros_like(fx)], -1)
+        rear_z = meta.lens_lines[0][1]
+        rear_r = meta.lens_lines[0][3]
+        rare = rear_r * 2.0 * LM.map_samples_to_disc(
+            pixel_offsets[..., 2:4] - 0.5)
+        shoot_to = jnp.stack([rare[..., 0], rare[..., 1],
+                              jnp.full_like(fx, rear_z)], -1)
+        dir_f = LM.normalize(shoot_to - film_pos)
+        pos_o, dir_o, ok = trace_lenses_from_film(meta, film_pos, dir_f)
+        miss_pos = jnp.array([0.0, -1e7, 0.0], jnp.float32)
+        miss_dir = jnp.array([0.0, -1.0, 0.0], jnp.float32)
+        ray_pos = jnp.where(ok[..., None], -pos_o, miss_pos)
+        ray_dir = jnp.where(ok[..., None], -LM.normalize(dir_o), miss_dir)
 
     time = jnp.zeros_like(x_norm)
     if meta.has_motion:

@@ -528,6 +528,10 @@ class SceneMeta:
     cam_target_dist: float = 10.0
     exposure_mult: float = 1.0
     mat_types_present: tuple = ()
+    # optics simulator (KSPEC_OPTIC_SIM): static lens stack, film->scene
+    # order; each element = (curvature_radius, thickness, ior, aperture_r)
+    lens_lines: tuple = ()
+    phys_size: tuple = (0.0, 0.0)
 
 
 @jax.tree_util.register_dataclass
@@ -604,6 +608,12 @@ class Scene:
 
     # shared float array (env pdf tables, plastic LUTs...)
     arrays1f: jnp.ndarray       # [..] f32
+
+    # thin-film tables (integrator_pt.h:585-591)
+    films_thickness: jnp.ndarray  # [..] f32
+    films_eta_k: jnp.ndarray      # [..] f32 (etas then ks per material)
+    films_spec_id: jnp.ndarray    # [..] i32
+    precomp_films: jnp.ndarray    # [..] f32 R/T tables (see build_film.py)
 
     # spectra
     spec_values: jnp.ndarray    # [..] f32
@@ -821,7 +831,15 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
             old_to_new_light[old_id] = len(lights)
             lights.append(L)
 
+    # ---- spectra first: film precompute needs them ------------------------
+    # (LoadSceneSpectrumData runs before materials in the reference too,
+    # integrator_pt_scene.cpp:959-1010)
+    from . import spd
+    spec_values, spec_offset_sz = spd.load_scene_spectra(xml.spectra())
+
     # ---- materials --------------------------------------------------------
+    from . import build_film
+    film_state = build_film.FilmState()
     materials: list[MaterialRec] = []
     mat_types_present = set()
     for node in xml.material_nodes():
@@ -842,6 +860,10 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
             from . import build_plastic
             mat, arrays1f_len = build_plastic.load_plastic_material(
                 node, tc, spectral_mode, arrays1f, arrays1f_len)
+        elif mtype_str == 'thin_film':
+            mat = build_film.load_thin_film_material(
+                node, tc, spectral_mode, film_state, spec_values,
+                spec_offset_sz)
         else:
             # unknown -> gray lambert placeholder, same shape as reference default
             mat = MaterialRec()
@@ -899,10 +921,35 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         if dof is not None and int(_read1f(dof)) != 0:
             lr = cam.node.find('dof_lens_radius')
             lens_radius = _read1f(lr, 0.0)
+        # optics simulator: full lens stack (LoadOpticsFromNode,
+        # integrator_pt_scene.cpp:1078-1141). Static per scene -> lives in
+        # SceneMeta so XLA constant-folds the element loop.
+        optic_node = cam.node.find('optical_system')
+        if optic_node is None:
+            optic_node = cam.node.find('optics')
+        lens_lines, phys_size = (), (0.0, 0.0)
+        if optic_node is not None:
+            scale = float(optic_node.get('scale', '1.0'))
+            diagonal = float(optic_node.get('sensor_diagonal', '0.035'))
+            px = 2.0 * float(np.sqrt(diagonal * diagonal / (1.0 + aspect * aspect)))
+            phys_size = (px, aspect * px)
+            rows = []
+            for cur_id, line in enumerate(optic_node.findall('line')):
+                lid = int(line.get('id', str(cur_id)))
+                aper = line.get('semi_diameter', line.get('aperture_radius', '0'))
+                rows.append((lid,
+                             (scale * float(line.get('curvature_radius', '0')),
+                              scale * float(line.get('thickness', '0')),
+                              float(line.get('ior', '0')),
+                              scale * float(aper))))
+            rev = optic_node.get('order') == 'scene_to_sensor'
+            rows.sort(key=lambda r: r[0], reverse=rev)
+            lens_lines = tuple(r[1] for r in rows)
     else:
         proj = lmath.perspective_matrix(45.0, aspect, 0.01, 100.0)
         world_view = np.eye(4, dtype=np.float32)
         exposure, cam_target_dist, lens_radius = 1.0, 10.0, 0.0
+        lens_lines, phys_size = (), (0.0, 0.0)
     proj_inv = np.linalg.inv(proj).astype(np.float32)
     world_view_inv = np.linalg.inv(world_view).astype(np.float32)
 
@@ -1011,15 +1058,12 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
     all_remap_size = len(all_lists)
     all_remap = np.array(all_lists + offsets, np.int32) if (all_lists or offsets) else np.zeros(1, np.int32)
 
-    # ---- spectra (LoadSceneSpectrumData, integrator_pt_scene.cpp:358-419) -
-    from . import spd
-    spec_values, spec_offset_sz = spd.load_scene_spectra(xml.spectra())
-
     # ---- CIE curves -------------------------------------------------------
     from ..ops import spectrum as spec_mod
     cie = spec_mod.cie_xyz_table()
 
     pool = tc.pool.finish()
+    film_arrays = film_state.arrays()
 
     # ---- packed tables (gather-count optimization; see Scene docstring) ---
     M_ = len(materials)
@@ -1127,6 +1171,10 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         all_remap_lists=jnp.asarray(all_remap),
         all_remap_lists_size=jnp.asarray(np.int32(all_remap_size)),
         arrays1f=jnp.asarray(np.concatenate(arrays1f) if arrays1f else np.zeros(1, np.float32)),
+        films_thickness=jnp.asarray(film_arrays[0]),
+        films_eta_k=jnp.asarray(film_arrays[1]),
+        films_spec_id=jnp.asarray(film_arrays[2]),
+        precomp_films=jnp.asarray(film_arrays[3]),
         spec_values=jnp.asarray(spec_values),
         spec_offset_sz=jnp.asarray(spec_offset_sz),
         env_color=jnp.asarray(env['color']),
@@ -1162,5 +1210,6 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         cam_lens_radius=lens_radius, cam_target_dist=cam_target_dist,
         exposure_mult=exposure,
         mat_types_present=tuple(sorted(mat_types_present)),
+        lens_lines=lens_lines, phys_size=phys_size,
     )
     return scene, meta

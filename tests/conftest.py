@@ -20,7 +20,29 @@ import sys
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 
+# The axon sitecustomize registers the TPU plugin at interpreter startup,
+# BEFORE this conftest runs, and pins jax_platforms to 'axon' — env vars set
+# here are too late.  jax.config.update still wins if called before backend
+# initialization, so force it explicitly or every "CPU" test silently runs
+# over the remote TPU tunnel (~100x slower per dispatch).
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
+# persistent compilation cache: the big jitted render programs take ~20s
+# each to compile on CPU; cache them across pytest runs
+jax.config.update('jax_compilation_cache_dir', '/tmp/hydracore3_jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+
 import pytest
+
+
+def box_downsample(img, k=4):
+    """Box-filter downsample for MC-noise-tolerant image comparisons."""
+    import numpy as np
+    h, w = img.shape[0] // k * k, img.shape[1] // k * k
+    img = img[:h, :w]
+    return np.asarray(img).reshape(h // k, k, w // k, k, -1).mean((1, 3))
 
 REF_SCENES = pathlib.Path('/root/reference/scenes')
 

@@ -25,10 +25,10 @@ def test_mlt_brightness_matches_pt(cornell_scene):
     from hydracore3_tpu.models import kmlt, integrator_pt as IPT
     from hydracore3_tpu import render as R
     scene, meta = cornell_scene
-    img_mlt = kmlt.render_mlt(scene, meta, spp=96, n_chains=2048,
+    img_mlt = kmlt.render_mlt(scene, meta, spp=32, n_chains=2048,
                               render_layer=IPT.FB_COLOR,
                               steps_per_dispatch=16, verbose=False)
-    img_pt = np.asarray(R.render(scene, meta, spp=96, integrator='mispt'))
+    img_pt = np.asarray(R.render(scene, meta, spp=32, integrator='mispt'))
     m_mlt = img_mlt[..., :3].mean()
     m_pt = img_pt[..., :3].mean()
-    assert abs(m_mlt - m_pt) / m_pt < 0.1, (m_mlt, m_pt)
+    assert abs(m_mlt - m_pt) / m_pt < 0.12, (m_mlt, m_pt)

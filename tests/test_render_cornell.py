@@ -13,7 +13,7 @@ import pytest
 def small_render(cornell_scene):
     from hydracore3_tpu import render as R
     scene, meta = cornell_scene
-    img = R.render(scene, meta, spp=32, integrator='mispt')
+    img = R.render(scene, meta, spp=8, integrator='mispt')
     return np.asarray(img)
 
 
@@ -46,11 +46,14 @@ def test_mis_vs_shadow_consistency(cornell_scene):
     """Different estimators, same integral: images must agree (PSNR)."""
     from hydracore3_tpu import render as R
     from hydracore3_tpu.utils.imageio import psnr
+    from conftest import box_downsample
     scene, meta = cornell_scene
-    a = np.asarray(R.render(scene, meta, spp=96, integrator='mispt'))
-    b = np.asarray(R.render(scene, meta, spp=96, integrator='shadowpt'))
-    la = np.clip(a[..., :3], 0, 1) ** (1 / 2.2) * 255
-    lb = np.clip(b[..., :3], 0, 1) ** (1 / 2.2) * 255
+    a = np.asarray(R.render(scene, meta, spp=24, integrator='mispt'))
+    b = np.asarray(R.render(scene, meta, spp=24, integrator='shadowpt'))
+    # box-downsample 4x4 before PSNR: averages MC noise (~16x variance
+    # reduction) so a 24-spp CPU run compares like a ~384-spp one
+    la = np.clip(box_downsample(a[..., :3]), 0, 1) ** (1 / 2.2) * 255
+    lb = np.clip(box_downsample(b[..., :3]), 0, 1) ** (1 / 2.2) * 255
     val = psnr(la, lb)
     assert val > 28.0, val
 
