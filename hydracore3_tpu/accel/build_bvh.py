@@ -32,13 +32,22 @@ class FlatBVH:
 
 
 def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
-          max_leaf: int = MAX_LEAF) -> FlatBVH:
+          max_leaf: int = MAX_LEAF, motion_end=None) -> FlatBVH:
+    """``motion_end``: optional (v0_1, e1_1, e2_1) triangle endpoints at
+    t=1 — node bounds then cover the whole motion segment (the conservative
+    motion-blur BVH, VulkanRTX motion TLAS analog)."""
     v0 = np.asarray(v0, np.float32)
     v1 = v0 + np.asarray(e1, np.float32)
     v2 = v0 + np.asarray(e2, np.float32)
     T = len(v0)
     tmin = np.minimum(np.minimum(v0, v1), v2)
     tmax = np.maximum(np.maximum(v0, v1), v2)
+    if motion_end is not None:
+        v0b = np.asarray(motion_end[0], np.float32)
+        v1b = v0b + np.asarray(motion_end[1], np.float32)
+        v2b = v0b + np.asarray(motion_end[2], np.float32)
+        tmin = np.minimum(tmin, np.minimum(np.minimum(v0b, v1b), v2b))
+        tmax = np.maximum(tmax, np.maximum(np.maximum(v0b, v1b), v2b))
     centroid = (tmin + tmax) * 0.5
 
     # recursion via explicit stack building a node list first (python objects)

@@ -143,8 +143,14 @@ def intersect_brute(tri_v0, tri_e1, tri_e2, tri_inst, tri_geom, tri_prim,
         soup_id=jnp.full((N,), -1, jnp.int32))
 
     def body(best, tris):
-        v0, e1, e2, inst, geom, prim, soup = tris
-        hit, t, u, v = _moller_trumbore(ray_pos, ray_dir, v0, e1, e2, t_min, t_max)
+        if motion is not None:
+            v0, e1, e2, inst, geom, prim, soup, dv0, de1, de2 = tris
+            mo = (dv0, de1, de2, mtime)
+        else:
+            v0, e1, e2, inst, geom, prim, soup = tris
+            mo = None
+        hit, t, u, v = _moller_trumbore(ray_pos, ray_dir, v0, e1, e2, t_min,
+                                        t_max, mo)
         valid = hit & (geom[None, :] >= 0)
         t = jnp.where(valid, t, FLT_MAX)
         j = jnp.argmin(t, axis=-1)                      # [N]
@@ -161,10 +167,15 @@ def intersect_brute(tri_v0, tri_e1, tri_e2, tri_inst, tri_geom, tri_prim,
             soup_id=jnp.where(closer, soup[j], best.soup_id))
         return best, None
 
-    if n_chunks == 1:
-        best, _ = body(init, (v0c[0], e1c[0], e2c[0], instc[0], geomc[0], primc[0], soupc[0]))
+    if motion is not None:
+        chunks = (v0c, e1c, e2c, instc, geomc, primc, soupc,
+                  dv0c, de1c, de2c)
     else:
-        best, _ = jax.lax.scan(body, init, (v0c, e1c, e2c, instc, geomc, primc, soupc))
+        chunks = (v0c, e1c, e2c, instc, geomc, primc, soupc)
+    if n_chunks == 1:
+        best, _ = body(init, tuple(c[0] for c in chunks))
+    else:
+        best, _ = jax.lax.scan(body, init, chunks)
     return best
 
 
@@ -195,16 +206,23 @@ def _slab_test(ray_pos, inv_dir, bmin, bmax, t_min, t_max):
 
 
 def intersect_bvh(bvh, tri_v0, tri_e1, tri_e2, tri_inst, tri_geom, tri_prim,
-                  ray_pos, ray_dir, t_min, t_max, max_leaf=4, any_hit=False):
+                  ray_pos, ray_dir, t_min, t_max, max_leaf=4, any_hit=False,
+                  motion=None):
     """Stackless skip-pointer BVH traversal, vmapped over rays.
 
     ``bvh``: dict/pytree with bmin/bmax [M,3], skip [M], tri_offset [M],
     tri_count [M]; triangle arrays must already be in BVH leaf order.
+    With ``motion=(dv0, de1, de2, time)`` the leaf triangles lerp by the
+    ray's time (node bounds must already cover both endpoints).
     """
     bmin, bmax = bvh['bmin'], bvh['bmax']
     skip, toff, tcnt = bvh['skip'], bvh['tri_offset'], bvh['tri_count']
+    if motion is None:
+        mtime = jnp.zeros(ray_pos.shape[:-1], jnp.float32)
+    else:
+        mtime = motion[3]
 
-    def one_ray(pos, d, tmin, tmax):
+    def one_ray(pos, d, tmin, tmax, time):
         inv_dir = jnp.where(jnp.abs(d) > 1e-20, 1.0 / d,
                             jnp.sign(d) * 1e20 + jnp.where(d == 0, 1e20, 0.0))
 
@@ -223,8 +241,12 @@ def intersect_bvh(bvh, tri_v0, tri_e1, tri_e2, tri_inst, tri_geom, tri_prim,
                 idx = off + jnp.arange(max_leaf)
                 valid = (jnp.arange(max_leaf) < tcnt[node])
                 idx = jnp.clip(idx, 0, tri_v0.shape[0] - 1)
-                h, t, u, v = _moller_leaf(pos, d, tri_v0[idx], tri_e1[idx],
-                                          tri_e2[idx], tmin, best_t)
+                lv0, le1, le2 = tri_v0[idx], tri_e1[idx], tri_e2[idx]
+                if motion is not None:
+                    lv0 = lv0 + time * motion[0][idx]
+                    le1 = le1 + time * motion[1][idx]
+                    le2 = le2 + time * motion[2][idx]
+                h, t, u, v = _moller_leaf(pos, d, lv0, le1, le2, tmin, best_t)
                 h = h & valid
                 t = jnp.where(h, t, FLT_MAX)
                 k = jnp.argmin(t)
@@ -250,7 +272,8 @@ def intersect_bvh(bvh, tri_v0, tri_e1, tri_e2, tri_inst, tri_geom, tri_prim,
         _, best_t, best_i, best_u, best_v, _ = jax.lax.while_loop(cond, body, init)
         return best_t, best_i, best_u, best_v
 
-    best_t, best_i, best_u, best_v = jax.vmap(one_ray)(ray_pos, ray_dir, t_min, t_max)
+    best_t, best_i, best_u, best_v = jax.vmap(one_ray)(ray_pos, ray_dir,
+                                                       t_min, t_max, mtime)
     found = best_i >= 0
     safe = jnp.maximum(best_i, 0)
     return Hit(
@@ -263,16 +286,17 @@ def intersect_bvh(bvh, tri_v0, tri_e1, tri_e2, tri_inst, tri_geom, tri_prim,
 
 
 def any_hit_bvh(bvh, tri_v0, tri_e1, tri_e2, tri_geom,
-                ray_pos, ray_dir, t_min, t_max, max_leaf=4):
+                ray_pos, ray_dir, t_min, t_max, max_leaf=4, motion=None):
     hit = intersect_bvh(bvh, tri_v0, tri_e1, tri_e2,
                         jnp.zeros_like(tri_geom), tri_geom,
                         jnp.zeros_like(tri_geom),
-                        ray_pos, ray_dir, t_min, t_max, max_leaf, any_hit=True)
+                        ray_pos, ray_dir, t_min, t_max, max_leaf,
+                        any_hit=True, motion=motion)
     return hit.geom_id >= 0
 
 
 def any_hit_brute(tri_v0, tri_e1, tri_e2, tri_geom,
-                  ray_pos, ray_dir, t_min, t_max, chunk=512):
+                  ray_pos, ray_dir, t_min, t_max, chunk=512, motion=None):
     """Shadow-ray occlusion test: any hit in (t_min, t_max)."""
     T = tri_v0.shape[0]
     chunk = _round_chunk(T, chunk)
@@ -284,6 +308,10 @@ def any_hit_brute(tri_v0, tri_e1, tri_e2, tri_geom,
         tri_e1 = jnp.concatenate([tri_e1, padv])
         tri_e2 = jnp.concatenate([tri_e2, padv])
         tri_geom = jnp.concatenate([tri_geom, jnp.full((pad,), -1, jnp.int32)])
+        if motion is not None:
+            motion = (jnp.concatenate([motion[0], padv]),
+                      jnp.concatenate([motion[1], padv]),
+                      jnp.concatenate([motion[2], padv]), motion[3])
 
     v0c = tri_v0.reshape(n_chunks, chunk, 3)
     e1c = tri_e1.reshape(n_chunks, chunk, 3)
@@ -293,13 +321,25 @@ def any_hit_brute(tri_v0, tri_e1, tri_e2, tri_geom,
     N = ray_pos.shape[0]
 
     def body(occluded, tris):
-        v0, e1, e2, geom = tris
-        hit, _, _, _ = _moller_trumbore(ray_pos, ray_dir, v0, e1, e2, t_min, t_max)
+        if motion is not None:
+            v0, e1, e2, geom, dv0, de1, de2 = tris
+            mo = (dv0, de1, de2, motion[3])
+        else:
+            v0, e1, e2, geom = tris
+            mo = None
+        hit, _, _, _ = _moller_trumbore(ray_pos, ray_dir, v0, e1, e2,
+                                        t_min, t_max, mo)
         return occluded | jnp.any(hit & (geom[None, :] >= 0), axis=-1), None
 
-    if n_chunks == 1:
-        occ, _ = body(jnp.zeros((N,), bool), (v0c[0], e1c[0], e2c[0], geomc[0]))
+    if motion is not None:
+        chunks = (v0c, e1c, e2c, geomc,
+                  motion[0].reshape(n_chunks, chunk, 3),
+                  motion[1].reshape(n_chunks, chunk, 3),
+                  motion[2].reshape(n_chunks, chunk, 3))
     else:
-        occ, _ = jax.lax.scan(body, jnp.zeros((N,), bool),
-                              (v0c, e1c, e2c, geomc))
+        chunks = (v0c, e1c, e2c, geomc)
+    if n_chunks == 1:
+        occ, _ = body(jnp.zeros((N,), bool), tuple(c[0] for c in chunks))
+    else:
+        occ, _ = jax.lax.scan(body, jnp.zeros((N,), bool), chunks)
     return occ

@@ -302,18 +302,20 @@ def kernel_ray_trace(scene: Scene, meta: SceneMeta, state: RayState, bounce: int
     t_min = jnp.zeros((N,), jnp.float32)
     t_max = jnp.where(live, _F32MAX, 0.0)  # dead rays trace nothing
 
+    motion = ((scene.tri_dv0, scene.tri_de1, scene.tri_de2, state.time)
+              if meta.has_motion else None)
     if meta.use_bvh:
         bvh = dict(bmin=scene.bvh_bmin, bmax=scene.bvh_bmax, skip=scene.bvh_skip,
                    tri_offset=scene.bvh_tri_offset, tri_count=scene.bvh_tri_count)
         hit = ACC.intersect_bvh(
             bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
             scene.tri_inst_id, scene.tri_geom_id, scene.tri_prim_id,
-            state.ray_pos, state.ray_dir, t_min, t_max)
+            state.ray_pos, state.ray_dir, t_min, t_max, motion=motion)
     else:
         hit = ACC.intersect_brute(
             scene.tri_v0, scene.tri_e1, scene.tri_e2,
             scene.tri_inst_id, scene.tri_geom_id, scene.tri_prim_id,
-            state.ray_pos, state.ray_dir, t_min, t_max)
+            state.ray_pos, state.ray_dir, t_min, t_max, motion=motion)
 
     found = hit.geom_id >= 0
     hit_pos = state.ray_pos + (hit.t * (1.0 - 1e-6))[..., None] * state.ray_dir
@@ -324,6 +326,10 @@ def kernel_ray_trace(scene: Scene, meta: SceneMeta, state: RayState, bounce: int
     # motion path; gathers dominate the TPU profile)
     soup = jnp.maximum(hit.soup_id, 0)
     shade = scene.tri_shade[soup]                  # [N,24]
+    if meta.has_motion:
+        # normal/tangent lerp between the two endpoint matrices
+        # (integrator_pt.cpp:285-292)
+        shade = shade + state.time[..., None] * scene.tri_shade_d[soup]
     # CRT coords: u = weight(B), v = weight(C); barycentric lerp matching
     # integrator_pt.cpp:270-271 (data = (1-u-v)*A + u*B + v*C)
     wa = (1.0 - hit.u - hit.v)[..., None]
@@ -401,6 +407,8 @@ def kernel_sample_light_source(scene: Scene, meta: SceneMeta, state: RayState,
 
     in_illum = (LM.dot(shadow_dir, lsam['norm']) < 0.0) | lsam['is_omni'] | lsam['has_ies']
     need_trace = live & in_illum
+    motion = ((scene.tri_dv0, scene.tri_de1, scene.tri_de2, state.time)
+              if meta.has_motion else None)
     if meta.use_bvh:
         bvh = dict(bmin=scene.bvh_bmin, bmax=scene.bvh_bmax, skip=scene.bvh_skip,
                    tri_offset=scene.bvh_tri_offset, tri_count=scene.bvh_tri_count)
@@ -408,13 +416,13 @@ def kernel_sample_light_source(scene: Scene, meta: SceneMeta, state: RayState,
             bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_geom_id,
             shadow_pos, shadow_dir,
             jnp.zeros((N,), jnp.float32),
-            jnp.where(need_trace, hit_dist * 0.9995, 0.0))
+            jnp.where(need_trace, hit_dist * 0.9995, 0.0), motion=motion)
     else:
         occluded = ACC.any_hit_brute(
             scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_geom_id,
             shadow_pos, shadow_dir,
             jnp.zeros((N,), jnp.float32),
-            jnp.where(need_trace, hit_dist * 0.9995, 0.0))
+            jnp.where(need_trace, hit_dist * 0.9995, 0.0), motion=motion)
     need_shade = need_trace & ~occluded
 
     mat_id = _extract_mat_id(state.flags)

@@ -596,6 +596,12 @@ class Scene:
     tri_geom_id: jnp.ndarray    # [T] i32
     tri_prim_id: jnp.ndarray    # [T] i32
 
+    # motion blur: per-tri deltas to the t=1 endpoints ([0,*] when static)
+    tri_dv0: jnp.ndarray        # [T,3] or [0,3]
+    tri_de1: jnp.ndarray        # [T,3] or [0,3]
+    tri_de2: jnp.ndarray        # [T,3] or [0,3]
+    tri_shade_d: jnp.ndarray    # [T,24] or [0,24]
+
     # shading tables (object space, reference layout integrator_pt.h:472-492)
     tri_indices: jnp.ndarray    # [3*Tm] u32 (per-mesh concatenated)
     vdata: jnp.ndarray          # [V,8] f32: normAndTx | tangAndTy
@@ -985,6 +991,7 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
     tri_inst_id, tri_geom_id, tri_prim_id = [], [], []
     tri_shade_l, tri_mat_l = [], []
     has_motion = any(i.has_motion for i in instances)
+    tri_dv0, tri_de1, tri_de2, tri_shade_d_l = [], [], [], []
     for real_id, inst in enumerate(instances):
         mesh = meshes[inst.geom_id]
         m = inst.matrix
@@ -1007,16 +1014,35 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         tri_prim_id.append(np.arange(nt, dtype=np.int32))
 
         # baked per-triangle shading rows (world-space, see Scene.tri_shade)
-        wnorm = mesh.v_norm[:, :3] @ nm[:3, :3].T
-        wtang = mesh.v_tang[:, :3] @ nm[:3, :3].T
-        shade = np.zeros((nt, 24), np.float32)
-        for c in range(3):
-            vi = idx[:, c]
-            shade[:, c * 8 + 0:c * 8 + 3] = wnorm[vi]
-            shade[:, c * 8 + 3] = mesh.v_texc[vi, 0]
-            shade[:, c * 8 + 4:c * 8 + 7] = wtang[vi]
-            shade[:, c * 8 + 7] = mesh.v_texc[vi, 1]
+        def shade_rows(nmat):
+            wnorm = mesh.v_norm[:, :3] @ nmat[:3, :3].T
+            wtang = mesh.v_tang[:, :3] @ nmat[:3, :3].T
+            sh = np.zeros((nt, 24), np.float32)
+            for c in range(3):
+                vi = idx[:, c]
+                sh[:, c * 8 + 0:c * 8 + 3] = wnorm[vi]
+                sh[:, c * 8 + 3] = mesh.v_texc[vi, 0]
+                sh[:, c * 8 + 4:c * 8 + 7] = wtang[vi]
+                sh[:, c * 8 + 7] = mesh.v_texc[vi, 1]
+            return sh
+
+        shade = shade_rows(nm)
         tri_shade_l.append(shade)
+
+        if has_motion:
+            # motion endpoints: second transform (matrix_motion) gives the
+            # t=1 soup + shading rows; intersection lerps per ray time
+            # (RayQuery_NearestHitMotion; normals integrator_pt.cpp:285-292)
+            m2 = inst.matrix_motion if inst.has_motion else m
+            nm2 = np.linalg.inv(m2).T.astype(np.float32)
+            pos2 = mesh.v_pos[:, :3] @ m2[:3, :3].T + m2[:3, 3]
+            w0 = pos2[idx[:, 0]]
+            w1 = pos2[idx[:, 1]]
+            w2 = pos2[idx[:, 2]]
+            tri_dv0.append(w0 - v0)
+            tri_de1.append((w1 - w0) - (v1 - v0))
+            tri_de2.append((w2 - w0) - (v2 - v0))
+            tri_shade_d_l.append(shade_rows(nm2) - shade)
         # material ids with the instance's remap list applied at build time
         mids = mesh.mat_indices.astype(np.int64)
         if inst.rmap_id >= 0 and inst.rmap_id < len(remap_lists_raw):
@@ -1036,12 +1062,30 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
     soup_shade = (np.concatenate(tri_shade_l) if tri_shade_l
                   else np.zeros((0, 24), np.float32))
     soup_mat = np.concatenate(tri_mat_l) if tri_mat_l else np.zeros(0, np.int32)
+    if has_motion and tri_dv0:
+        soup_dv0 = np.concatenate(tri_dv0)
+        soup_de1 = np.concatenate(tri_de1)
+        soup_de2 = np.concatenate(tri_de2)
+        soup_shade_d = np.concatenate(tri_shade_d_l)
+    else:
+        soup_dv0 = np.zeros((0, 3), np.float32)
+        soup_de1 = np.zeros((0, 3), np.float32)
+        soup_de2 = np.zeros((0, 3), np.float32)
+        soup_shade_d = np.zeros((0, 24), np.float32)
     if len(soup_v0) > 0:
-        bvh = build_bvh.build(soup_v0, soup_e1, soup_e2)
+        motion_end = ((soup_v0 + soup_dv0, soup_e1 + soup_de1,
+                       soup_e2 + soup_de2) if has_motion and len(soup_dv0)
+                      else None)
+        bvh = build_bvh.build(soup_v0, soup_e1, soup_e2,
+                              motion_end=motion_end)
         order = bvh.order
         soup_v0, soup_e1, soup_e2 = soup_v0[order], soup_e1[order], soup_e2[order]
         soup_inst, soup_geom, soup_prim = soup_inst[order], soup_geom[order], soup_prim[order]
         soup_shade, soup_mat = soup_shade[order], soup_mat[order]
+        if len(soup_dv0):
+            soup_dv0, soup_de1, soup_de2 = (soup_dv0[order], soup_de1[order],
+                                            soup_de2[order])
+            soup_shade_d = soup_shade_d[order]
         bvh_arrays = (bvh.bmin, bvh.bmax, bvh.skip, bvh.tri_offset, bvh.tri_count)
     else:
         bvh_arrays = (np.zeros((1, 3), np.float32), np.zeros((1, 3), np.float32),
@@ -1162,6 +1206,10 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         tri_inst_id=jnp.asarray(soup_inst),
         tri_geom_id=jnp.asarray(soup_geom),
         tri_prim_id=jnp.asarray(soup_prim),
+        tri_dv0=jnp.asarray(soup_dv0),
+        tri_de1=jnp.asarray(soup_de1),
+        tri_de2=jnp.asarray(soup_de2),
+        tri_shade_d=jnp.asarray(soup_shade_d),
         tri_indices=jnp.asarray(cat(tri_indices, dtype=np.uint32).astype(np.int32)),
         vdata=jnp.asarray(cat(vdata, 8)),
         mat_id_by_prim=jnp.asarray(cat(mat_id_by_prim, dtype=np.uint32).astype(np.int32)),
