@@ -37,33 +37,34 @@ class Hit(NamedTuple):
 def _moller_trumbore(ray_pos, ray_dir, v0, e1, e2, t_min, t_max, motion=None):
     """Batched ray x tri intersection.
 
-    ray_pos/dir: [N,3]; v0/e1/e2: [T,3]. Returns (hit_mask, t, u, v): [N,T].
+    ray_pos/dir: [N,3]; v0/e1/e2: [T,3]. Returns (hit_mask, t, u, v): [T,N].
 
-    Written component-wise so every intermediate is a 2-D [N,T] array
-    (maps to clean 8x128 VPU tiles); [N,T,3] temporaries are ~3x the HBM
-    traffic and dominated the TPU profile.
+    Laid out triangles-major / rays-minor: every 2-D intermediate is [T, N]
+    with the BIG ray dimension on the 128-lane axis.  The previous [N, T]
+    orientation padded the lane dim T=24 -> 128 (5.3x wasted HBM traffic
+    and VPU lanes); this layout keeps tiles fully populated for any T.
 
     ``motion``: optional (dv0, de1, de2, time) for motion blur — triangle
     endpoints lerp per ray (RayQuery_NearestHitMotion, CrossRT.h:160-174);
     time is [N].
     """
-    dx, dy, dz = ray_dir[:, 0:1], ray_dir[:, 1:2], ray_dir[:, 2:3]
-    px, py, pz = ray_pos[:, 0:1], ray_pos[:, 1:2], ray_pos[:, 2:3]
-    e1x, e1y, e1z = e1[None, :, 0], e1[None, :, 1], e1[None, :, 2]
-    e2x, e2y, e2z = e2[None, :, 0], e2[None, :, 1], e2[None, :, 2]
-    v0x, v0y, v0z = v0[None, :, 0], v0[None, :, 1], v0[None, :, 2]
+    dx, dy, dz = ray_dir[None, :, 0], ray_dir[None, :, 1], ray_dir[None, :, 2]
+    px, py, pz = ray_pos[None, :, 0], ray_pos[None, :, 1], ray_pos[None, :, 2]
+    e1x, e1y, e1z = e1[:, None, 0], e1[:, None, 1], e1[:, None, 2]
+    e2x, e2y, e2z = e2[:, None, 0], e2[:, None, 1], e2[:, None, 2]
+    v0x, v0y, v0z = v0[:, None, 0], v0[:, None, 1], v0[:, None, 2]
     if motion is not None:
         dv0, de1, de2, time = motion
-        tt = time[:, None]
-        v0x = v0x + tt * dv0[None, :, 0]
-        v0y = v0y + tt * dv0[None, :, 1]
-        v0z = v0z + tt * dv0[None, :, 2]
-        e1x = e1x + tt * de1[None, :, 0]
-        e1y = e1y + tt * de1[None, :, 1]
-        e1z = e1z + tt * de1[None, :, 2]
-        e2x = e2x + tt * de2[None, :, 0]
-        e2y = e2y + tt * de2[None, :, 1]
-        e2z = e2z + tt * de2[None, :, 2]
+        tt = time[None, :]
+        v0x = v0x + tt * dv0[:, None, 0]
+        v0y = v0y + tt * dv0[:, None, 1]
+        v0z = v0z + tt * dv0[:, None, 2]
+        e1x = e1x + tt * de1[:, None, 0]
+        e1y = e1y + tt * de1[:, None, 1]
+        e1z = e1z + tt * de1[:, None, 2]
+        e2x = e2x + tt * de2[:, None, 0]
+        e2y = e2y + tt * de2[:, None, 1]
+        e2z = e2z + tt * de2[:, None, 2]
 
     # pvec = d x e2
     pvx = dy * e2z - dz * e2y
@@ -83,7 +84,7 @@ def _moller_trumbore(ray_pos, ray_dir, v0, e1, e2, t_min, t_max, motion=None):
     vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
     t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
     hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (vv >= 0.0) & (u + vv <= 1.0)
-           & (t > t_min[:, None]) & (t < t_max[:, None]))
+           & (t > t_min[None, :]) & (t < t_max[None, :]))
     return hit, t, u, vv
 
 
@@ -150,13 +151,16 @@ def intersect_brute(tri_v0, tri_e1, tri_e2, tri_inst, tri_geom, tri_prim,
             v0, e1, e2, inst, geom, prim, soup = tris
             mo = None
         hit, t, u, v = _moller_trumbore(ray_pos, ray_dir, v0, e1, e2, t_min,
-                                        t_max, mo)
-        valid = hit & (geom[None, :] >= 0)
+                                        t_max, mo)                 # [T, N]
+        valid = hit & (geom[:, None] >= 0)
         t = jnp.where(valid, t, FLT_MAX)
-        j = jnp.argmin(t, axis=-1)                      # [N]
-        tj = jnp.take_along_axis(t, j[:, None], 1)[:, 0]
+        j = jnp.argmin(t, axis=0)                       # [N]
+        tj = jnp.min(t, axis=0)
         closer = tj < best.t
-        gather = lambda a: jnp.take_along_axis(a, j[:, None], 1)[:, 0]
+        # row-select as a masked reduction (fuses into one [T,N] pass,
+        # unlike take_along_axis over the sublane axis)
+        sel = jnp.arange(t.shape[0], dtype=jnp.int32)[:, None] == j[None, :]
+        gather = lambda a: jnp.sum(jnp.where(sel, a, 0.0), axis=0)
         best = Hit(
             t=jnp.where(closer, tj, best.t),
             prim_id=jnp.where(closer, prim[j], best.prim_id),
@@ -328,8 +332,8 @@ def any_hit_brute(tri_v0, tri_e1, tri_e2, tri_geom,
             v0, e1, e2, geom = tris
             mo = None
         hit, _, _, _ = _moller_trumbore(ray_pos, ray_dir, v0, e1, e2,
-                                        t_min, t_max, mo)
-        return occluded | jnp.any(hit & (geom[None, :] >= 0), axis=-1), None
+                                        t_min, t_max, mo)          # [T, N]
+        return occluded | jnp.any(hit & (geom[:, None] >= 0), axis=0), None
 
     if motion is not None:
         chunks = (v0c, e1c, e2c, geomc,

@@ -53,11 +53,14 @@ def _fetch_rows(table, idx, n_rows):
 
 
 def gather_material(scene: Scene, mat_id):
-    """Fetch per-ray material rows from the packed tables.
+    """Fetch per-ray material rows from the packed table.
 
-    One f32 row [64] + one i32 row [16] per ray replaces ~10 scattered
-    gathers over the struct-of-arrays tables (cmaterial.h Material layout:
-    colors/row0/row1/data + mtype/cflags/texid/spdid/datai)."""
+    ONE f32 row [80] per ray replaces ~10 scattered gathers over the
+    struct-of-arrays tables (cmaterial.h Material layout: colors/row0/row1/
+    data + mtype/cflags/texid/spdid/datai).  Int fields ride as exact-small
+    f32 columns 64:80 — a separate narrow i32 row gather was a top cost in
+    the TPU profile (the one-hot matmul fetches the f32 table on the MXU).
+    """
     M = scene.mat_packed_f32.shape[0]
     f = _fetch_rows(scene.mat_packed_f32, mat_id, M)
     ints = scene.mat_packed_i32[mat_id]
@@ -146,6 +149,29 @@ def _four_scalar_params(scene, meta, md, tc):
     return jnp.where(((md['cflags'] & FLAG_FOUR_TEXTURES) != 0)[..., None], four, ones)
 
 
+def make_shading_ctx(scene: Scene, meta: SceneMeta, mat_id, n, tang, tc):
+    """Per-bounce shared shading data, computed ONCE and reused by NEE's
+    MaterialEval, the bounce's MaterialSampleAndEval, and the emissive-hit
+    branch.  Material-row gathers and texture fetches dominate the TPU
+    profile; the reference recomputes them per kernel because they're cheap
+    on GPU (integrator_pt_mat.cpp:109-528).
+
+    Only used when the scene has no blend materials (blend descent changes
+    the leaf material per stochastic draw)."""
+    md = gather_material(scene, mat_id)
+    geom_normal = n
+    shade_normal = n
+    if meta.has_bump:
+        has_nmap = md['texid'][..., 1] != jnp.int32(-1)
+        bn = bump_mapping(scene, md, geom_normal, tang, tc)
+        shade_normal = jnp.where(has_nmap[..., None], bn, geom_normal)
+    tc_t = mul_rows_2x4(md['row0'][..., 0, :], md['row1'][..., 0, :], tc)
+    tex_color = TEX.sample(scene.textures, _clamp_tex(scene, md['texid'][..., 0]), tc_t)
+    four_params = _four_scalar_params(scene, meta, md, tc)
+    return dict(md=md, shade_normal=shade_normal, tex_color=tex_color,
+                four_params=four_params)
+
+
 def _empty_sample(shape_n):
     return dict(val=jnp.zeros((shape_n, 4), jnp.float32),
                 dir=jnp.tile(jnp.array([0.0, 1.0, 0.0], jnp.float32), (shape_n, 1)),
@@ -169,11 +195,12 @@ def _merge(sel, a, b):
 def material_sample_and_eval(scene: Scene, meta: SceneMeta, mat_id, wavelengths,
                              rng_state, live, v, n, tang, tc, mis_ior, ray_flags,
                              rnd_mats_override=None,
-                             rnd_mats_override_full=None):
+                             rnd_mats_override_full=None, ctx=None):
     """MaterialSampleAndEval (integrator_pt_mat.cpp:109-306), batched.
 
     Returns (sample_dict, new_rng_state, new_mis_ior).
     sample_dict: val [N,4], dir [N,3], pdf [N], flags [N] u32, ior [N].
+    ``ctx``: optional precomputed shading context (make_shading_ctx).
     """
     N = mat_id.shape[0]
     curr_mat = mat_id
@@ -182,6 +209,7 @@ def material_sample_and_eval(scene: Scene, meta: SceneMeta, mat_id, wavelengths,
 
     # blend descent (iterative while, max BLEND_STACK_SIZE layers)
     if meta.has_blend:
+        ctx = None
         for _layer in range(meta.max_blend_stack):
             md_b = gather_material(scene, curr_mat)
             is_blend = (md_b['mtype'] == MAT_TYPE_BLEND) & live
@@ -196,23 +224,30 @@ def material_sample_and_eval(scene: Scene, meta: SceneMeta, mat_id, wavelengths,
             res_pdf_mult = jnp.where(is_blend, res_pdf_mult * mult, res_pdf_mult)
             res_val_mult = jnp.where(is_blend, res_val_mult * mult, res_val_mult)
 
-    md = gather_material(scene, curr_mat)
-    geom_normal = n
-    shade_normal = n
-    if meta.has_bump:
-        has_nmap = md['texid'][..., 1] != jnp.int32(-1)
-        bn = bump_mapping(scene, md, geom_normal, tang, tc)
-        shade_normal = jnp.where(has_nmap[..., None], bn, geom_normal)
+    if ctx is not None:
+        md = ctx['md']
+        geom_normal = n
+        shade_normal = ctx['shade_normal']
+        tex_color = ctx['tex_color']
+    else:
+        md = gather_material(scene, curr_mat)
+        geom_normal = n
+        shade_normal = n
+        if meta.has_bump:
+            has_nmap = md['texid'][..., 1] != jnp.int32(-1)
+            bn = bump_mapping(scene, md, geom_normal, tang, tc)
+            shade_normal = jnp.where(has_nmap[..., None], bn, geom_normal)
 
-    tc_t = mul_rows_2x4(md['row0'][..., 0, :], md['row1'][..., 0, :], tc)
-    tex_color = TEX.sample(scene.textures, _clamp_tex(scene, md['texid'][..., 0]), tc_t)
+        tc_t = mul_rows_2x4(md['row0'][..., 0, :], md['row1'][..., 0, :], tc)
+        tex_color = TEX.sample(scene.textures, _clamp_tex(scene, md['texid'][..., 0]), tc_t)
     rng_state, rands = RNG.rnd_mats(rng_state, live)
     if rnd_mats_override_full is not None:
         rands = rnd_mats_override_full   # KMLT: full 4-vector from chain state
     elif rnd_mats_override is not None:
         # IntegratorQMC bounce-0 dims (integrator_qmc.cpp:118-127)
         rands = jnp.concatenate([rnd_mats_override, rands[..., 2:4]], -1)
-    four_params = _four_scalar_params(scene, meta, md, tc)
+    four_params = (ctx['four_params'] if ctx is not None
+                   else _four_scalar_params(scene, meta, md, tc))
 
     res = _empty_sample(N)
     new_ior = mis_ior
@@ -280,7 +315,7 @@ def material_sample_and_eval(scene: Scene, meta: SceneMeta, mat_id, wavelengths,
 
 
 def material_eval(scene: Scene, meta: SceneMeta, mat_id, wavelengths,
-                  l, v, n, tang, tc):
+                  l, v, n, tang, tc, ctx=None):
     """MaterialEval (integrator_pt_mat.cpp:308-528), batched.
 
     Blend handled with a fixed-size explicit stack of (matId, weight), fully
@@ -301,23 +336,37 @@ def material_eval(scene: Scene, meta: SceneMeta, mat_id, wavelengths,
     curr_w = jnp.ones((N,), jnp.float32)
     active = jnp.ones((N,), bool)
 
+    if meta.has_blend:
+        ctx = None
     for _ in range(max_iters):
-        md = gather_material(scene, curr_id)
         geom_normal = n
-        shade_normal = n
         bump_mult = jnp.ones((N,), jnp.float32)
-        if meta.has_bump:
-            has_nmap = md['texid'][..., 1] != jnp.int32(-1)
-            bn = bump_mapping(scene, md, geom_normal, tang, tc)
-            shade_normal = jnp.where(has_nmap[..., None], bn, geom_normal)
-            cos1 = jnp.maximum(dot(l, geom_normal), 0.0)
-            cos2 = jnp.maximum(dot(l, shade_normal), 0.0)
-            bm = jnp.where(cos1 <= 0.0, 0.0, cos2 / jnp.maximum(cos1, 1e-6))
-            bump_mult = jnp.where(has_nmap, bm, bump_mult)
+        if ctx is not None:
+            md = ctx['md']
+            shade_normal = ctx['shade_normal']
+            tex_color = ctx['tex_color']
+            four_params = ctx['four_params']
+            if meta.has_bump:
+                has_nmap = md['texid'][..., 1] != jnp.int32(-1)
+                cos1 = jnp.maximum(dot(l, geom_normal), 0.0)
+                cos2 = jnp.maximum(dot(l, shade_normal), 0.0)
+                bm = jnp.where(cos1 <= 0.0, 0.0, cos2 / jnp.maximum(cos1, 1e-6))
+                bump_mult = jnp.where(has_nmap, bm, bump_mult)
+        else:
+            md = gather_material(scene, curr_id)
+            shade_normal = n
+            if meta.has_bump:
+                has_nmap = md['texid'][..., 1] != jnp.int32(-1)
+                bn = bump_mapping(scene, md, geom_normal, tang, tc)
+                shade_normal = jnp.where(has_nmap[..., None], bn, geom_normal)
+                cos1 = jnp.maximum(dot(l, geom_normal), 0.0)
+                cos2 = jnp.maximum(dot(l, shade_normal), 0.0)
+                bm = jnp.where(cos1 <= 0.0, 0.0, cos2 / jnp.maximum(cos1, 1e-6))
+                bump_mult = jnp.where(has_nmap, bm, bump_mult)
 
-        tc_t = mul_rows_2x4(md['row0'][..., 0, :], md['row1'][..., 0, :], tc)
-        tex_color = TEX.sample(scene.textures, _clamp_tex(scene, md['texid'][..., 0]), tc_t)
-        four_params = _four_scalar_params(scene, meta, md, tc)
+            tc_t = mul_rows_2x4(md['row0'][..., 0, :], md['row1'][..., 0, :], tc)
+            tex_color = TEX.sample(scene.textures, _clamp_tex(scene, md['texid'][..., 0]), tc_t)
+            four_params = _four_scalar_params(scene, meta, md, tc)
 
         val = jnp.zeros((N, 4), jnp.float32)
         pdf = jnp.zeros((N,), jnp.float32)

@@ -324,12 +324,14 @@ def kernel_ray_trace(scene: Scene, meta: SceneMeta, state: RayState, bounce: int
     # tri_indices x3 + vdata x3 + norm_matrix (the reference's layout,
     # integrator_pt.cpp:263-292, kept in scene.vdata for the two-level/
     # motion path; gathers dominate the TPU profile)
+    from ..ops.gather import gather_rows
     soup = jnp.maximum(hit.soup_id, 0)
-    shade = scene.tri_shade[soup]                  # [N,24]
+    shade = gather_rows(scene.tri_shade, soup)     # [N,32]
     if meta.has_motion:
         # normal/tangent lerp between the two endpoint matrices
         # (integrator_pt.cpp:285-292)
-        shade = shade + state.time[..., None] * scene.tri_shade_d[soup]
+        shade = shade + state.time[..., None] * gather_rows(scene.tri_shade_d,
+                                                            soup)
     # CRT coords: u = weight(B), v = weight(C); barycentric lerp matching
     # integrator_pt.cpp:270-271 (data = (1-u-v)*A + u*B + v*C)
     wa = (1.0 - hit.u - hit.v)[..., None]
@@ -353,7 +355,7 @@ def kernel_ray_trace(scene: Scene, meta: SceneMeta, state: RayState, bounce: int
     inv_flag = jnp.uint32(C.RAY_FLAG_HAS_INV_NORMAL)
     flags = jnp.where(flip < 0.0, flags | inv_flag, flags & ~inv_flag)
 
-    mid = scene.tri_mat_id[soup]   # remap lists pre-applied at build
+    mid = shade[..., 24].astype(jnp.int32)  # matId baked in the shade row
     flags_hit = _pack_mat_id(flags, mid)
 
     miss_add = jnp.uint32(C.RAY_FLAG_IS_DEAD | C.RAY_FLAG_OUT_OF_SCENE
@@ -374,7 +376,7 @@ def kernel_ray_trace(scene: Scene, meta: SceneMeta, state: RayState, bounce: int
 
 def kernel_sample_light_source(scene: Scene, meta: SceneMeta, state: RayState,
                                bounce: int, integrator_type: int, render_layer: int,
-                               qmc_ctx=None):
+                               qmc_ctx=None, shading_ctx=None):
     """kernel_SampleLightSource (integrator_pt.cpp:350-424).
 
     Returns (shade_color [N,4], new_rng).
@@ -428,7 +430,8 @@ def kernel_sample_light_source(scene: Scene, meta: SceneMeta, state: RayState,
     mat_id = _extract_mat_id(state.flags)
     bsdf = MAT.material_eval(scene, meta, mat_id, state.wavelengths,
                              shadow_dir, -state.ray_dir,
-                             state.hit_norm, state.hit_tang, state.hit_uv)
+                             state.hit_norm, state.hit_tang, state.hit_uv,
+                             ctx=shading_ctx)
     cos_out = jnp.maximum(LM.dot(shadow_dir, state.hit_norm), 0.0)
 
     lgt_pdf_w = LGT.light_pdf_select_rev(meta) * LGT.light_eval_pdf(
@@ -460,19 +463,23 @@ def kernel_sample_light_source(scene: Scene, meta: SceneMeta, state: RayState,
 
 def kernel_next_bounce(scene: Scene, meta: SceneMeta, state: RayState, bounce: int,
                        shade_color, integrator_type: int, render_layer: int,
-                       qmc_ctx=None) -> RayState:
+                       qmc_ctx=None, shading_ctx=None) -> RayState:
     """kernel_NextBounce (integrator_pt.cpp:426-548)."""
     live = ~_is_dead(state.flags)
     mat_id = _extract_mat_id(state.flags)
-    md = MAT.gather_material(scene, mat_id)
+    if shading_ctx is not None:
+        md = shading_ctx['md']
+        tex_color = shading_ctx['tex_color']
+    else:
+        md = MAT.gather_material(scene, mat_id)
+        tc_t = LM.mul_rows_2x4(md['row0'][..., 0, :], md['row1'][..., 0, :],
+                               state.hit_uv)
+        texid = md['texid'][..., 0]
+        tex_color = TEX.sample(scene.textures, MAT._clamp_tex(scene, texid), tc_t)
     md_mtype = md['mtype']
     is_light_mat = md_mtype == jnp.uint32(MAT_TYPE_LIGHT_SOURCE)
 
     # ---- light-hit branch (integrator_pt.cpp:461-506) ----------------------
-    tc_t = LM.mul_rows_2x4(md['row0'][..., 0, :], md['row1'][..., 0, :],
-                           state.hit_uv)
-    texid = md['texid'][..., 0]
-    tex_color = TEX.sample(scene.textures, MAT._clamp_tex(scene, texid), tc_t)
     light_id = scene.remap_inst[jnp.clip(state.hit_inst, 0, scene.remap_inst.shape[0] - 1), 1]
     emiss = md['colors'][..., EMISSION_COLOR, :]
     light_intensity = emiss * tex_color
@@ -526,7 +533,7 @@ def kernel_next_bounce(scene: Scene, meta: SceneMeta, state: RayState, bounce: i
         scene, meta, mat_id, state.wavelengths, state.rng, surf_live,
         -state.ray_dir, state.hit_norm, state.hit_tang, state.hit_uv,
         state.mis_ior, state.flags, rnd_mats_override=mats_override,
-        rnd_mats_override_full=mats_override_full)
+        rnd_mats_override_full=mats_override_full, ctx=shading_ctx)
 
     bxdf_val = mat_sam['val'] / jnp.maximum(mat_sam['pdf'], 1e-20)[..., None]
     cos_theta = jnp.abs(LM.dot(mat_sam['dir'], state.hit_norm))
@@ -624,14 +631,23 @@ def trace_pass(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
         if is_mlt and b_dyn is not None:
             ctx = dict(qmc_ctx, bounce_dyn=b_dyn)
         state = kernel_ray_trace(scene, meta, state, bounce=b)
+        # one shared shading context per bounce: material rows, slot-0
+        # texture, bump normal reused by NEE + bounce + emissive branch
+        sctx = None
+        if not meta.has_blend:
+            sctx = MAT.make_shading_ctx(
+                scene, meta, _extract_mat_id(state.flags),
+                state.hit_norm, state.hit_tang, state.hit_uv)
         if integrator_type != INTEGRATOR_STUPID_PT:
             shade, rng2 = kernel_sample_light_source(
-                scene, meta, state, b, integrator_type, render_layer, ctx)
+                scene, meta, state, b, integrator_type, render_layer, ctx,
+                shading_ctx=sctx)
             state = state._replace(rng=rng2)
         else:
             shade = jnp.zeros_like(state.accum_color)
         state = kernel_next_bounce(scene, meta, state, b, shade,
-                                   integrator_type, render_layer, ctx)
+                                   integrator_type, render_layer, ctx,
+                                   shading_ctx=sctx)
         return state
 
     # bounce 0 unrolled so the static `bounce == 0` branches (prime-ray miss,

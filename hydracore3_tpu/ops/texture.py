@@ -64,6 +64,11 @@ class TexturePoolBuilder:
     def finish(self) -> 'TexturePool':
         table = np.array(self._table, np.int32)
         texels = np.concatenate(self._texels, axis=0)
+        if len(texels) % 32:  # 128-lane alignment for the wide-row gather
+            texels = np.concatenate(
+                [texels, np.zeros((32 - len(texels) % 32, 4), np.float32)])
+        all_linear = bool((table[:, 3] == FILTER_LINEAR).all()
+                          or len(table) <= 1)
         return TexturePool(
             texels=jnp.asarray(texels),
             offset=jnp.asarray(table[:, 0]),
@@ -71,19 +76,28 @@ class TexturePoolBuilder:
             height=jnp.asarray(table[:, 2]),
             filter=jnp.asarray(table[:, 3]),
             addr_u=jnp.asarray(table[:, 4]),
-            addr_v=jnp.asarray(table[:, 5]))
+            addr_v=jnp.asarray(table[:, 5]),
+            all_linear=all_linear)
 
 
-@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TexturePool:
-    texels: jnp.ndarray   # [P, 4] f32
+    texels: jnp.ndarray   # [P, 4] f32 (P % 32 == 0)
     offset: jnp.ndarray   # [T] i32
     width: jnp.ndarray    # [T] i32
     height: jnp.ndarray   # [T] i32
     filter: jnp.ndarray   # [T] i32
     addr_u: jnp.ndarray   # [T] i32
     addr_v: jnp.ndarray   # [T] i32
+    # static: every slot is FILTER_LINEAR -> the nearest tap is skipped
+    all_linear: bool = False
+
+
+jax.tree_util.register_dataclass(
+    TexturePool,
+    data_fields=['texels', 'offset', 'width', 'height', 'filter',
+                 'addr_u', 'addr_v'],
+    meta_fields=['all_linear'])
 
 
 def _address(idx_f, size, mode):
@@ -127,10 +141,13 @@ def sample(pool: TexturePool, tex_id, uv):
     px = px.astype(jnp.int32)
     py = py.astype(jnp.int32)
 
+    from .gather import gather_rows
+
     def fetch(ix, iy):
         ix = _address(ix, w, au)
         iy = _address(iy, h, av)
-        return pool.texels[off + iy * w + ix]
+        idx = (off + iy * w + ix).reshape(-1)
+        return gather_rows(pool.texels, idx).reshape(uv.shape[:-1] + (4,))
 
     c00 = fetch(px, py)
     c10 = fetch(px + 1, py)
@@ -141,10 +158,12 @@ def sample(pool: TexturePool, tex_id, uv):
     bilinear = (c00 * (1 - fx1) * (1 - fy1) + c10 * fx1 * (1 - fy1)
                 + c01 * (1 - fx1) * fy1 + c11 * fx1 * fy1)
 
+    if pool.all_linear:
+        return bilinear
+
     # nearest: round tc*size - 0.0 down (LiteImage nearest = int(tc*size))
-    nx = _address((uv[..., 0] * wf).astype(jnp.int32), w, au)
-    ny = _address((uv[..., 1] * hf).astype(jnp.int32), h, av)
-    nearest = pool.texels[off + ny * w + nx]
+    nearest = fetch((uv[..., 0] * wf).astype(jnp.int32),
+                    (uv[..., 1] * hf).astype(jnp.int32))
 
     return jnp.where((filt == FILTER_LINEAR)[..., None], bilinear, nearest)
 

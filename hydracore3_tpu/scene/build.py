@@ -34,6 +34,8 @@ MAT_TYPE_BLEND = 6
 MAT_TYPE_DIELECTRIC = 7
 MAT_TYPE_THIN_FILM = 8
 MAT_TYPE_LIGHT_SOURCE = 0xEFFFFFFF
+# small f32-exact code for MAT_TYPE_LIGHT_SOURCE inside packed tables
+MTYPE_SMALL_LIGHT = 9
 
 # GLTF component flags (cmaterial.h:26-36)
 GLTF_COMPONENT_LAMBERT = 1
@@ -104,6 +106,17 @@ INVALID_ID = 0xFFFFFFFF
 
 COLOR_DATA_SIZE = 4
 CUSTOM_DATA_SIZE = 16
+
+
+def _pad_shade(shade24: np.ndarray, mat_id: np.ndarray) -> np.ndarray:
+    """[T,24] shading rows -> [T,32] with matId baked into column 24 as a
+    float (exact for ids < 2^24); rows padded to a 128-lane multiple so the
+    wide-row gather (ops/gather.py) applies."""
+    T = len(shade24)
+    out = np.zeros((max(-(-T // 4) * 4, 4), 32), np.float32)
+    out[:T, :24] = shade24
+    out[:T, 24] = mat_id.astype(np.float32)
+    return out
 
 
 def _as_u32_float(x: int) -> float:
@@ -582,10 +595,11 @@ class Scene:
     bvh_tri_count: jnp.ndarray  # [M] i32
 
     # per-triangle baked shading rows: world-space corner normals/tangents/uv
-    # packed as [T, 24] = 3 x (norm3, tx, tang3, ty); plus pre-remapped
-    # material ids. ONE gather per hit replaces 7 (tri_indices x3, vdata x3,
-    # norm_matrix) — gathers dominate the TPU profile.
-    tri_shade: jnp.ndarray      # [T,24] f32
+    # packed as [T, 32] = 3 x (norm3, tx, tang3, ty) + matId(col 24) + pad;
+    # 32 f32 columns so the wide-row gather fills 128 lanes (ops/gather.py).
+    # ONE gather per hit replaces 8 (tri_indices x3, vdata x3, norm_matrix,
+    # mat id) — gathers dominate the TPU profile.
+    tri_shade: jnp.ndarray      # [T,32] f32
     tri_mat_id: jnp.ndarray     # [T] i32 (remap lists already applied)
 
     # geometry: world-space triangle soup (flattened instances, BVH leaf order)
@@ -1110,8 +1124,12 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
     film_arrays = film_state.arrays()
 
     # ---- packed tables (gather-count optimization; see Scene docstring) ---
+    # int fields ride as exact-small-int f32 columns 64:80 so ONE one-hot
+    # matmul fetches the whole material (narrow i32 row gathers were a top
+    # cost in the TPU profile). mtype is remapped to a small code
+    # (MAT_TYPE_LIGHT_SOURCE -> MTYPE_SMALL_LIGHT) to stay f32-exact.
     M_ = len(materials)
-    mat_pf = np.zeros((M_, 64), np.float32)
+    mat_pf = np.zeros((M_, 80), np.float32)
     mat_pi = np.zeros((M_, 16), np.int32)
     for i, m_ in enumerate(materials):
         mat_pf[i, 0:16] = m_.colors.reshape(-1)
@@ -1124,9 +1142,16 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         mat_pi[i, 4:8] = np.array(m_.texid, np.int64).astype(np.uint32).astype(np.int32)
         mat_pi[i, 8:12] = np.array(m_.spdid, np.int64).astype(np.uint32).astype(np.int32)
         mat_pi[i, 12:16] = np.array(m_.datai, np.int64).astype(np.uint32).astype(np.int32)
+        mat_pf[i, 64] = float(MTYPE_SMALL_LIGHT if m_.mtype == MAT_TYPE_LIGHT_SOURCE
+                              else m_.mtype)
+        mat_pf[i, 65] = float(m_.cflags)
+        mat_pf[i, 66] = float(m_.nonlinear)
+        mat_pf[i, 68:72] = mat_pi[i, 4:8].astype(np.float32)
+        mat_pf[i, 72:76] = mat_pi[i, 8:12].astype(np.float32)
+        mat_pf[i, 76:80] = mat_pi[i, 12:16].astype(np.float32)
 
     L_ = max(len(lights), 1)
-    lgt_pf = np.zeros((L_, 72), np.float32)
+    lgt_pf = np.zeros((L_, 88), np.float32)
     lgt_pi = np.zeros((L_, 16), np.int32)
     for i, l in enumerate(lights):
         lgt_pf[i, 0:4] = l['pos']
@@ -1152,6 +1177,8 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         lgt_pi[i, 6] = np.int32(np.uint32(l['spec_id'])) if l['spec_id'] >= 0 else -1
         lgt_pi[i, 7] = l['tex_id']
         lgt_pi[i, 8] = l['ies_id']
+        # int fields as f32 columns (see mat_packed_f32 comment)
+        lgt_pf[i, 72:81] = lgt_pi[i, 0:9].astype(np.float32)
 
     def cat(xs, width=None, dtype=np.float32):
         if xs:
@@ -1198,7 +1225,7 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         bvh_skip=jnp.asarray(bvh_arrays[2]),
         bvh_tri_offset=jnp.asarray(bvh_arrays[3]),
         bvh_tri_count=jnp.asarray(bvh_arrays[4]),
-        tri_shade=jnp.asarray(soup_shade),
+        tri_shade=jnp.asarray(_pad_shade(soup_shade, soup_mat)),
         tri_mat_id=jnp.asarray(soup_mat),
         tri_v0=jnp.asarray(soup_v0),
         tri_e1=jnp.asarray(soup_e1),
@@ -1209,7 +1236,9 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         tri_dv0=jnp.asarray(soup_dv0),
         tri_de1=jnp.asarray(soup_de1),
         tri_de2=jnp.asarray(soup_de2),
-        tri_shade_d=jnp.asarray(soup_shade_d),
+        tri_shade_d=jnp.asarray(
+            _pad_shade(soup_shade_d, np.zeros(len(soup_shade_d), np.int32))
+            if len(soup_shade_d) else soup_shade_d.reshape(0, 32)),
         tri_indices=jnp.asarray(cat(tri_indices, dtype=np.uint32).astype(np.int32)),
         vdata=jnp.asarray(cat(vdata, 8)),
         mat_id_by_prim=jnp.asarray(cat(mat_id_by_prim, dtype=np.uint32).astype(np.int32)),
