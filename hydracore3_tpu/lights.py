@@ -67,7 +67,11 @@ def _sample_map_2d(scene: Scene, rands3, table_offset, size_x, size_y):
     # ensure accum[pixel] < x <= accum[pixel+1] approximately
     pdf = ((scene.arrays1f[table_offset + pixel + 1]
             - scene.arrays1f[table_offset + pixel]) / jnp.maximum(total, 1e-30))
-    y_pos = pixel // size_x
+    # integer divide by a dynamic divisor is ~30 ops on TPU; float-divide
+    # then fix up exactly with one multiply/compare round
+    y_pos = (pixel.astype(jnp.float32) / fw).astype(jnp.int32)
+    rem = pixel - y_pos * size_x
+    y_pos = jnp.where(rem < 0, y_pos - 1, jnp.where(rem >= size_x, y_pos + 1, y_pos))
     x_pos = pixel - y_pos * size_x
     tex_x = (1.0 / fw) * ((x_pos.astype(jnp.float32) + 0.5)
                           + (rands3[..., 0] * 2.0 - 1.0) * 0.5)
@@ -189,30 +193,35 @@ def light_intensity(scene: Scene, meta: SceneMeta, light_id, wavelengths,
         color = jnp.where(has_spd[..., None], sampled, color)
     color = color * ld['mult'][..., None]
 
-    # IES modulation
-    has_ies = ld['ies_id'] >= 0
-    ies_dir = jnp.where(((ld['flags'] & LIGHT_FLAG_POINT_AREA) != 0)[..., None],
-                        normalize(ld['pos'][..., :3] - ray_pos), ray_dir)
-    dir_trans = mul4x4_vec(ld['ies_matrix'],
-                           jnp.concatenate([ies_dir, jnp.zeros_like(ies_dir[..., :1])], -1))[..., :3]
-    tc_ies, _ = sphere_map_to_2d_tex_coord(-dir_trans)
-    ies_col = TEX.sample(scene.textures, jnp.maximum(ld['ies_id'], 0), tc_ies)
-    color = jnp.where(has_ies[..., None], color * ies_col, color)
+    # IES modulation — trace-time gated (KSPEC_LIGHT_IES analog): a texture
+    # gather is the most expensive primitive on TPU, never emit it for
+    # scenes without IES profiles
+    if meta.has_ies:
+        has_ies = ld['ies_id'] >= 0
+        ies_dir = jnp.where(((ld['flags'] & LIGHT_FLAG_POINT_AREA) != 0)[..., None],
+                            normalize(ld['pos'][..., :3] - ray_pos), ray_dir)
+        dir_trans = mul4x4_vec(ld['ies_matrix'],
+                               jnp.concatenate([ies_dir, jnp.zeros_like(ies_dir[..., :1])], -1))[..., :3]
+        tc_ies, _ = sphere_map_to_2d_tex_coord(-dir_trans)
+        ies_col = TEX.sample(scene.textures, jnp.maximum(ld['ies_id'], 0), tc_ies)
+        color = jnp.where(has_ies[..., None], color * ies_col, color)
 
     # spot cone + projective texture (integrator_pt_lgt.cpp:145-162)
-    is_spot = ld['dist_type'] == LIGHT_DIST_SPOT
-    cos_theta = jnp.maximum(-dot(ray_dir, ld['norm'][..., :3]), 0.0)
-    tval = jnp.clip((cos_theta - ld['cos2']) / jnp.maximum(ld['cos1'] - ld['cos2'], 1e-20), 0.0, 1.0)
-    smooth = tval * tval * (3.0 - 2.0 * tval)
-    color = jnp.where(is_spot[..., None], color * smooth[..., None], color)
+    if meta.has_spot:
+        is_spot = ld['dist_type'] == LIGHT_DIST_SPOT
+        cos_theta = jnp.maximum(-dot(ray_dir, ld['norm'][..., :3]), 0.0)
+        tval = jnp.clip((cos_theta - ld['cos2']) / jnp.maximum(ld['cos1'] - ld['cos2'], 1e-20), 0.0, 1.0)
+        smooth = tval * tval * (3.0 - 2.0 * tval)
+        color = jnp.where(is_spot[..., None], color * smooth[..., None], color)
 
-    is_proj = is_spot & ((ld['flags'] & LIGHT_FLAG_PROJECTIVE) != 0) & (ld['tex_id'] >= 0)
-    pos_clip = mul4x4_vec(ld['ies_matrix'],
-                          jnp.concatenate([ray_pos, jnp.ones_like(ray_pos[..., :1])], -1))
-    ndc = pos_clip[..., :3] / jnp.where(pos_clip[..., 3:4] == 0, 1.0, pos_clip[..., 3:4])
-    shadow_tc = ndc[..., :2] * 0.5 + 0.5
-    proj_col = TEX.sample(scene.textures, jnp.maximum(ld['tex_id'], 0), shadow_tc)
-    color = jnp.where(is_proj[..., None], color * proj_col, color)
+        if meta.has_proj:
+            is_proj = is_spot & ((ld['flags'] & LIGHT_FLAG_PROJECTIVE) != 0) & (ld['tex_id'] >= 0)
+            pos_clip = mul4x4_vec(ld['ies_matrix'],
+                                  jnp.concatenate([ray_pos, jnp.ones_like(ray_pos[..., :1])], -1))
+            ndc = pos_clip[..., :3] / jnp.where(pos_clip[..., 3:4] == 0, 1.0, pos_clip[..., 3:4])
+            shadow_tc = ndc[..., :2] * 0.5 + 0.5
+            proj_col = TEX.sample(scene.textures, jnp.maximum(ld['tex_id'], 0), shadow_tc)
+            color = jnp.where(is_proj[..., None], color * proj_col, color)
 
     # env texture (for visible env lights sampled explicitly)
     if meta.has_env_map:

@@ -650,14 +650,22 @@ def trace_pass(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
                                    shading_ctx=sctx)
         return state
 
-    # bounce 0 unrolled so the static `bounce == 0` branches (prime-ray miss,
-    # emissive MIS, QMC dims) specialize; remaining bounces share one body.
-    state = bounce_body(0, state)
+    # The bounce loop is fully unrolled: depth is small and static, and a
+    # fori_loop would materialize the 17-array RayState carry in HBM at
+    # every iteration, defeating XLA's cross-bounce fusion.  Unrolling also
+    # specializes the `bounce == 0` branches (prime-ray miss, emissive MIS,
+    # QMC dims) and turns MLT's per-bounce rand offsets into static slices.
+    _UNROLL_MAX = 12
+    if depth <= _UNROLL_MAX:
+        for b in range(depth):
+            state = bounce_body(min(b, 1), state, b_dyn=b) if is_mlt \
+                else bounce_body(b, state)
+    else:
+        state = bounce_body(0, state)
 
-    def body_fn(i, st):
-        return bounce_body(1, st, b_dyn=i)
+        def body_fn(i, st):
+            return bounce_body(1, st, b_dyn=i)
 
-    if depth > 1:
         state = jax.lax.fori_loop(1, depth, body_fn, state)
 
     state = kernel_hit_environment(scene, meta, state, integrator_type)

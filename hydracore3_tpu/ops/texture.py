@@ -100,18 +100,23 @@ jax.tree_util.register_dataclass(
     meta_fields=['all_linear'])
 
 
-def _address(idx_f, size, mode):
-    """Apply address mode to integer texel index (can be out of range)."""
-    sf = size
-    wrapped = jnp.remainder(idx_f, sf)
-    clamped = jnp.clip(idx_f, 0, sf - 1)
-    # mirror: reflect indices; period 2*size
-    m = jnp.remainder(idx_f, 2 * sf)
-    mirrored = jnp.where(m < sf, m, 2 * sf - 1 - m)
-    out = jnp.where(mode == ADDR_WRAP, wrapped,
-          jnp.where(mode == ADDR_CLAMP, clamped,
-          jnp.where(mode == ADDR_MIRROR, mirrored, clamped)))
-    return out
+def _norm_coord(u, mode):
+    """Map a normalized coord into [0,1) (wrap) / [0,1] (clamp) / reflected
+    [0,1] (mirror) using ONLY float ops.
+
+    Per-ray texture ids make `size` dynamic; integer remainder by a dynamic
+    divisor expands to a ~30-op division sequence on TPU (it was 15 ms of an
+    18 ms shading context on a 131k-ray batch).  Wrapping in normalized
+    space is translation-equivalent: frac(u)*w == u*w (mod w), so the texel
+    index below only needs compare-based boundary fixups.
+    """
+    wrapped = u - jnp.floor(u)
+    clamped = jnp.clip(u, 0.0, 1.0)
+    half = 0.5 * u
+    m2 = 2.0 * (half - jnp.floor(half))          # u mod 2 in [0,2)
+    mirrored = jnp.where(m2 < 1.0, m2, 2.0 - m2)
+    return jnp.where(mode == ADDR_WRAP, wrapped,
+           jnp.where(mode == ADDR_MIRROR, mirrored, clamped))
 
 
 def sample(pool: TexturePool, tex_id, uv):
@@ -119,6 +124,7 @@ def sample(pool: TexturePool, tex_id, uv):
 
     tex_id: int32 [...]; uv: float32 [..., 2]. Returns float32 [..., 4].
     Bilinear with half-texel centers, matching LiteImage's sample.
+    No dynamic integer division anywhere (see _norm_coord).
     """
     tex_id = jnp.asarray(tex_id, jnp.int32)
     off = pool.offset[tex_id]
@@ -130,29 +136,46 @@ def sample(pool: TexturePool, tex_id, uv):
 
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)
+    is_wrap_u = au == ADDR_WRAP
+    is_wrap_v = av == ADDR_WRAP
 
-    # texel-space coords; LiteImage: ffx = tc.x*w - 0.5
-    ffx = uv[..., 0] * wf - 0.5
-    ffy = uv[..., 1] * hf - 0.5
+    # texel-space coords; LiteImage: ffx = tc.x*w - 0.5 (pre-wrapped into the
+    # base period so indices only ever need one boundary fixup)
+    ffx = _norm_coord(uv[..., 0], au) * wf - 0.5
+    ffy = _norm_coord(uv[..., 1], av) * hf - 0.5
     px = jnp.floor(ffx)
     py = jnp.floor(ffy)
     fx = ffx - px
     fy = ffy - py
-    px = px.astype(jnp.int32)
+    px = px.astype(jnp.int32)    # in [-1, w-1]
     py = py.astype(jnp.int32)
+
+    w1 = w - 1
+    h1 = h - 1
+
+    def wrap_ix(ix):
+        # wrap: -1 -> w-1, w -> 0; clamp/mirror(base period): clip
+        ix_w = jnp.where(ix < 0, w1, jnp.where(ix > w1, 0, ix))
+        return jnp.where(is_wrap_u, ix_w, jnp.clip(ix, 0, w1))
+
+    def wrap_iy(iy):
+        iy_w = jnp.where(iy < 0, h1, jnp.where(iy > h1, 0, iy))
+        return jnp.where(is_wrap_v, iy_w, jnp.clip(iy, 0, h1))
 
     from .gather import gather_rows
 
     def fetch(ix, iy):
-        ix = _address(ix, w, au)
-        iy = _address(iy, h, av)
         idx = (off + iy * w + ix).reshape(-1)
         return gather_rows(pool.texels, idx).reshape(uv.shape[:-1] + (4,))
 
-    c00 = fetch(px, py)
-    c10 = fetch(px + 1, py)
-    c01 = fetch(px, py + 1)
-    c11 = fetch(px + 1, py + 1)
+    x0 = wrap_ix(px)
+    x1 = wrap_ix(px + 1)
+    y0 = wrap_iy(py)
+    y1 = wrap_iy(py + 1)
+    c00 = fetch(x0, y0)
+    c10 = fetch(x1, y0)
+    c01 = fetch(x0, y1)
+    c11 = fetch(x1, y1)
     fx1 = fx[..., None]
     fy1 = fy[..., None]
     bilinear = (c00 * (1 - fx1) * (1 - fy1) + c10 * fx1 * (1 - fy1)
@@ -161,9 +184,10 @@ def sample(pool: TexturePool, tex_id, uv):
     if pool.all_linear:
         return bilinear
 
-    # nearest: round tc*size - 0.0 down (LiteImage nearest = int(tc*size))
-    nearest = fetch((uv[..., 0] * wf).astype(jnp.int32),
-                    (uv[..., 1] * hf).astype(jnp.int32))
+    # nearest: LiteImage nearest = int(tc*size), truncation
+    nx = jnp.clip((_norm_coord(uv[..., 0], au) * wf).astype(jnp.int32), 0, w1)
+    ny = jnp.clip((_norm_coord(uv[..., 1], av) * hf).astype(jnp.int32), 0, h1)
+    nearest = fetch(nx, ny)
 
     return jnp.where((filt == FILTER_LINEAR)[..., None], bilinear, nearest)
 

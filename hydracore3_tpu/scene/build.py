@@ -532,6 +532,9 @@ class SceneMeta:
     has_env_map: bool = False
     env_enable_sam: bool = False
     has_blend: bool = False
+    has_ies: bool = False      # KSPEC_LIGHT_IES
+    has_proj: bool = False     # KSPEC_LIGHT_PROJECTIVE
+    has_spot: bool = False
     max_blend_stack: int = 1
     has_bump: bool = False
     has_four_textures: bool = False
@@ -1279,6 +1282,10 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         spectral_mode=spectral_mode, has_motion=has_motion,
         has_env_map=env['tex_id'] >= 0, env_enable_sam=env['enable_sam'],
         has_blend=MAT_TYPE_BLEND in mat_types_present,
+        has_ies=any(l['ies_id'] >= 0 for l in lights),
+        has_proj=any((l['flags'] & LIGHT_FLAG_PROJECTIVE) and l['tex_id'] >= 0
+                     for l in lights),
+        has_spot=any(l['dist_type'] == LIGHT_DIST_SPOT for l in lights),
         max_blend_stack=4 if MAT_TYPE_BLEND in mat_types_present else 1,
         has_bump=any(m_.texid[1] != INVALID_ID for m_ in materials),
         has_four_textures=any(m_.cflags & FLAG_FOUR_TEXTURES for m_ in materials),
