@@ -13,12 +13,85 @@ contiguous range of *reordered* triangles.
 """
 from __future__ import annotations
 
+import ctypes
 import dataclasses
+import os
+import subprocess
 
 import numpy as np
 
 N_BINS = 16
 MAX_LEAF = 4
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), 'native')
+_NATIVE_SRC = os.path.join(_NATIVE_DIR, 'bvh_builder.cpp')
+_NATIVE_SO = os.path.join(_NATIVE_DIR, 'libhydra_native.so')
+_native_lib = None
+_native_tried = False
+
+
+def _load_native():
+    """Load (compiling if needed) the C++ builder; None if unavailable.
+
+    The reference's BVH build is native (Embree3, EmbreeRT.cpp) — ours is
+    too: native/bvh_builder.cpp, plain C ABI via ctypes."""
+    global _native_lib, _native_tried
+    if _native_tried:
+        return _native_lib
+    _native_tried = True
+    try:
+        need_build = (not os.path.exists(_NATIVE_SO) or
+                      (os.path.exists(_NATIVE_SRC) and
+                       os.path.getmtime(_NATIVE_SRC) > os.path.getmtime(_NATIVE_SO)))
+        if need_build:
+            if not os.path.exists(_NATIVE_SRC):
+                return None
+            subprocess.run(
+                ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
+                 '-o', _NATIVE_SO, _NATIVE_SRC],
+                check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(_NATIVE_SO)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.hydra_build_bvh.restype = ctypes.c_int32
+        lib.hydra_build_bvh.argtypes = [f32p, f32p, ctypes.c_int32,
+                                        ctypes.c_int32, f32p, f32p, i32p,
+                                        i32p, i32p, i32p]
+        _native_lib = lib
+    except Exception:
+        _native_lib = None
+    return _native_lib
+
+
+def _build_native(tmin: np.ndarray, tmax: np.ndarray,
+                  max_leaf: int) -> 'FlatBVH | None':
+    lib = _load_native()
+    if lib is None:
+        return None
+    T = len(tmin)
+    cap = 2 * T + 1
+    bmin = np.empty((cap, 3), np.float32)
+    bmax = np.empty((cap, 3), np.float32)
+    skip = np.empty(cap, np.int32)
+    tri_offset = np.empty(cap, np.int32)
+    tri_count = np.empty(cap, np.int32)
+    order = np.empty(T, np.int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    tmin = np.ascontiguousarray(tmin, np.float32)
+    tmax = np.ascontiguousarray(tmax, np.float32)
+    n = lib.hydra_build_bvh(
+        tmin.ctypes.data_as(f32p), tmax.ctypes.data_as(f32p),
+        ctypes.c_int32(T), ctypes.c_int32(max_leaf),
+        bmin.ctypes.data_as(f32p), bmax.ctypes.data_as(f32p),
+        skip.ctypes.data_as(i32p), tri_offset.ctypes.data_as(i32p),
+        tri_count.ctypes.data_as(i32p), order.ctypes.data_as(i32p))
+    if n <= 0:
+        return None
+    return FlatBVH(bmin=bmin[:n].copy(), bmax=bmax[:n].copy(),
+                   skip=skip[:n].copy(), tri_offset=tri_offset[:n].copy(),
+                   tri_count=tri_count[:n].copy(), order=order)
 
 
 @dataclasses.dataclass
@@ -32,10 +105,15 @@ class FlatBVH:
 
 
 def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
-          max_leaf: int = MAX_LEAF, motion_end=None) -> FlatBVH:
+          max_leaf: int = MAX_LEAF, motion_end=None,
+          use_native: bool = True) -> FlatBVH:
     """``motion_end``: optional (v0_1, e1_1, e2_1) triangle endpoints at
     t=1 — node bounds then cover the whole motion segment (the conservative
-    motion-blur BVH, VulkanRTX motion TLAS analog)."""
+    motion-blur BVH, VulkanRTX motion TLAS analog).
+
+    Dispatches to the native C++ builder (native/bvh_builder.cpp) when
+    available; the numpy path below is the reference implementation and
+    fallback."""
     v0 = np.asarray(v0, np.float32)
     v1 = v0 + np.asarray(e1, np.float32)
     v2 = v0 + np.asarray(e2, np.float32)
@@ -48,6 +126,10 @@ def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
         v2b = v0b + np.asarray(motion_end[2], np.float32)
         tmin = np.minimum(tmin, np.minimum(np.minimum(v0b, v1b), v2b))
         tmax = np.maximum(tmax, np.maximum(np.maximum(v0b, v1b), v2b))
+    if use_native:
+        native = _build_native(tmin, tmax, max_leaf)
+        if native is not None:
+            return native
     centroid = (tmin + tmax) * 0.5
 
     # recursion via explicit stack building a node list first (python objects)
