@@ -610,17 +610,54 @@ def kernel_hit_environment(scene: Scene, meta: SceneMeta, state: RayState,
         accum_color=jnp.where(out[..., None], new_accum, state.accum_color))
 
 
+def init_state_from_input_rays(meta: SceneMeta, rng_state, ray_pos, ray_dir,
+                               wavelengths=None, time=None):
+    """kernel_InitEyeRayFromInput (integrator_pt.cpp:159-199): build the
+    ray-state pytree from externally generated rays (camera plugin,
+    PathTraceFromInputRays).  ``ray_pos``/``ray_dir`` are world-space [N,3];
+    ``wavelengths`` is [N] (one hero λ per ray, the plugin's CHANNELS=1
+    contract, cam_plugin/CamPluginAPI.h RayPosAndW.wave) or [N,4]."""
+    N = ray_pos.shape[0]
+    if wavelengths is None:
+        waves4 = jnp.zeros((N, 4), jnp.float32)
+    elif wavelengths.ndim == 1:
+        waves4 = jnp.broadcast_to(wavelengths[:, None], (N, 4))
+    else:
+        waves4 = wavelengths
+    if time is None:
+        time = jnp.zeros((N,), jnp.float32)
+    zeros3 = jnp.zeros((N, 3), jnp.float32)
+    return RayState(
+        ray_pos=ray_pos, ray_dir=ray_dir,
+        flags=jnp.zeros((N,), jnp.uint32),
+        accum_color=jnp.zeros((N, 4), jnp.float32),
+        throughput=jnp.ones((N, 4), jnp.float32),
+        mis_pdf=jnp.ones((N,), jnp.float32),
+        mis_cos=jnp.ones((N,), jnp.float32),
+        mis_ior=jnp.ones((N,), jnp.float32),
+        wavelengths=waves4, time=time, rng=rng_state,
+        hit_pos=zeros3, hit_norm=zeros3, hit_tang=zeros3,
+        hit_uv=jnp.zeros((N, 2), jnp.float32),
+        hit_dist=jnp.zeros((N,), jnp.float32),
+        hit_inst=jnp.zeros((N,), jnp.int32))
+
+
 def trace_pass(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
                integrator_type: int = INTEGRATOR_MIS_PT,
-               render_layer: int = FB_COLOR, qmc_ctx=None):
+               render_layer: int = FB_COLOR, qmc_ctx=None, input_state=None):
     """One full sample per pixel id. Returns (accum_color [N,4],
     wavelengths [N,4], flags [N], new rng_state, out_pixel_ids).
 
     Mirrors PathTrace/NaivePathTrace (integrator_pt.cpp:681-759); with
-    qmc_ctx it is the IntegratorQMC variant (mlt/integrator_qmc.cpp).
+    qmc_ctx it is the IntegratorQMC variant (mlt/integrator_qmc.cpp); with
+    ``input_state`` (from init_state_from_input_rays) it is
+    PathTraceFromInputRays (integrator_pt.cpp:761-798).
     """
-    state, out_pixels = kernel_init_eye_ray(scene, meta, rng_state, pixel_ids,
-                                            qmc_ctx)
+    if input_state is not None:
+        state, out_pixels = input_state, pixel_ids
+    else:
+        state, out_pixels = kernel_init_eye_ray(scene, meta, rng_state,
+                                                pixel_ids, qmc_ctx)
 
     depth = meta.trace_depth + (1 if integrator_type == INTEGRATOR_STUPID_PT else 0)
 
