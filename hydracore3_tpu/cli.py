@@ -18,7 +18,7 @@ def build_parser():
     p.add_argument('-scn_dir', dest='scene_dir', default='')
     p.add_argument('-integrator', default='mispt',
                    choices=['naivept', 'shadowpt', 'mispt', 'all', 'raytracing',
-                            'whitted_rt', 'mlt'])
+                            'whitted_rt', 'prt', 'mlt'])
     p.add_argument('-spp', type=int, default=None)
     p.add_argument('-width', type=int, default=None)
     p.add_argument('-height', type=int, default=None)
@@ -33,7 +33,72 @@ def build_parser():
     p.add_argument('-gpu_id', type=int, default=0)
     p.add_argument('-cam_id', type=int, default=0)
     p.add_argument('-tile', type=int, default=1 << 17)
+    p.add_argument('-look_at', nargs=16, type=float, default=None,
+                   metavar='M', help='row-major 4x4 view matrix override')
+    p.add_argument('-evalgbuffer', type=int, default=0,
+                   help='render G-buffer layers instead of color')
+    p.add_argument('-spp-naive-mul', dest='spp_naive_mul', type=int, default=1,
+                   help='extra spp multiplier for the naive integrator')
+    p.add_argument('-resource_dir', default='',
+                   help='alias of -scn_dir (reference flag parity)')
+    p.add_argument('-checkpoint', default='',
+                   help='checkpoint path for pass-granular save/resume')
+    p.add_argument('-checkpoint_every', type=int, default=8)
+    p.add_argument('--resume', action='store_true',
+                   help='resume an interrupted render from -checkpoint')
     return p
+
+
+def _eval_gbuffer(scene, meta, args):
+    """-evalgbuffer: render G-buffer layers to <stem>_<layer>.<ext>
+    (main.cpp gbuffer path + imageutils_gbuffer.cpp exports)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from .models import gbuffer as GB
+    from .utils import imageio as IIO
+    t0 = time.time()
+    N = meta.width * meta.height
+    gb = GB.eval_gbuffer(scene, meta, jnp.arange(N, dtype=jnp.int32))
+    ms = (time.time() - t0) * 1000.0
+    print(f'EvalGBuffer = {ms:.2f} ms')
+    H, W = meta.height, meta.width
+    stem, dot, ext = args.image_out.rpartition('.')
+    if not dot:
+        stem, ext = args.image_out, 'bmp'
+
+    def save(name, img):
+        out = f'{stem}_{name}.{ext}'
+        img = np.asarray(img).reshape(H, W, -1)[::-1]
+        if img.shape[-1] == 1:
+            img = np.repeat(img, 3, -1)
+        if img.shape[-1] == 3:
+            img = np.concatenate([img, np.ones_like(img[..., :1])], -1)
+        if out.endswith('.exr'):
+            IIO.save_exr(out, img, 1.0)
+        else:
+            IIO.save_ldr(out, np.clip(img, 0, 1), 1.0, args.gamma)
+        print(f'[main]: saved {out}')
+
+    depth = np.asarray(gb.depth)
+    finite = np.isfinite(depth) & (depth < 1e30)
+    dmax = depth[finite].max() if finite.any() else 1.0
+    save('depth', np.where(finite, depth / max(dmax, 1e-9), 1.0)[:, None])
+    save('normals', np.asarray(gb.norm) * 0.5 + 0.5)
+    save('texcoord', np.concatenate([np.asarray(gb.texc),
+                                     np.zeros((N, 1), np.float32)], -1))
+    save('texcolor', np.asarray(gb.rgba))
+    save('coverage', np.asarray(gb.coverage)[:, None])
+    for name, ids in (('matid', gb.mat_id), ('objid', gb.obj_id),
+                      ('instid', gb.inst_id)):
+        ids = np.asarray(ids).astype(np.int64)
+        # reference palette trick: hash ids to stable pseudo-colors
+        r = ((ids * 2654435761) % 255) / 255.0
+        g = ((ids * 805459861) % 255) / 255.0
+        b = ((ids * 3674653429) % 255) / 255.0
+        img = np.stack([r, g, b], -1)
+        img[ids < 0] = 0.0
+        save(name, img)
+    return 0
 
 
 def main(argv=None):
@@ -50,12 +115,18 @@ def main(argv=None):
     if not os.path.exists(args.scene_in):
         print(f'[main]: ERROR, scene file not found: {args.scene_in}')
         return 1
-    scene, meta = SB.load_scene(args.scene_in, args.scene_dir,
+    scene, meta = SB.load_scene(args.scene_in,
+                                args.scene_dir or args.resource_dir,
                                 spectral_mode=args.spectral,
-                                width=args.width, height=args.height)
+                                width=args.width, height=args.height,
+                                look_at_override=args.look_at,
+                                cam_id=args.cam_id)
     spp = args.spp or meta.spp
     print(f'[main]: scene loaded: {meta.num_tris} tris, {meta.num_lights} lights, '
           f'{meta.num_materials} materials; {meta.width}x{meta.height} @ {spp} spp')
+
+    if args.evalgbuffer:
+        return _eval_gbuffer(scene, meta, args)
 
     integrators = ([args.integrator] if args.integrator != 'all'
                    else ['naivept', 'shadowpt', 'mispt'])
@@ -65,7 +136,18 @@ def main(argv=None):
                 'raytracing': 'RayTrace', 'whitted_rt': 'RayTrace'}.get(integ, 'PathTrace')
         layer = args.fb_layer if args.fb_layer != 'direct_indirect' else 'color'
         t0 = time.time()
-        if integ in ('raytracing', 'whitted_rt'):
+        if integ == 'prt':
+            # primary rays only (-integrator prt: CastSingleRay flat color)
+            import jax.numpy as jnp
+            import numpy as np
+            from .models import integrator_rt as IRT
+            N = meta.width * meta.height
+            tw0 = time.time()
+            img = np.asarray(IRT.cast_single_ray(
+                scene, meta, jnp.arange(N, dtype=jnp.int32)))
+            img = img.reshape(meta.height, meta.width, 4)[..., :args.channels]
+            timing = {'total_s': time.time() - tw0, 'compile_s': 0.0}
+        elif integ in ('raytracing', 'whitted_rt'):
             import jax.numpy as jnp
             import numpy as np
             from .models import integrator_rt as IRT
@@ -97,10 +179,14 @@ def main(argv=None):
                                        tile_size=args.tile,
                                        progress=True, return_timing=True)
         else:
-            img, timing = R.render(scene, meta, spp=spp, integrator=integ,
+            ispp = spp * (args.spp_naive_mul if integ == 'naivept' else 1)
+            img, timing = R.render(scene, meta, spp=ispp, integrator=integ,
                                    layer=layer,
                                    channels=args.channels, tile_size=args.tile,
-                                   progress=True, return_timing=True)
+                                   progress=True, return_timing=True,
+                                   checkpoint_path=args.checkpoint or None,
+                                   checkpoint_every=args.checkpoint_every,
+                                   resume=args.resume)
         ms = (timing['total_s'] - timing['compile_s']) * 1000.0
         # keep the reference's timing line format so run_bench-style regexes work
         tag = {'naivept': 'naivept', 'shadowpt': 'shadowpt',

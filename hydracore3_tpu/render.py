@@ -9,6 +9,7 @@ the same compiled program.
 from __future__ import annotations
 
 import functools
+import os
 import time as _time
 
 import jax
@@ -182,8 +183,15 @@ def render_qmc(scene: Scene, meta: SceneMeta, spp: int = None,
 def render(scene: Scene, meta: SceneMeta, spp: int = None,
            integrator: str = 'mispt', layer: str = 'color', channels: int = 4,
            tile_size: int = 1 << 17, iters_per_dispatch: int = 1,
-           progress: bool = False, return_timing: bool = False):
-    """Render a full frame. Returns float32 [H, W, channels] (normalized)."""
+           progress: bool = False, return_timing: bool = False,
+           checkpoint_path: str = None, checkpoint_every: int = 0,
+           resume: bool = False):
+    """Render a full frame. Returns float32 [H, W, channels] (normalized).
+
+    With ``checkpoint_path`` + ``checkpoint_every=K`` the accumulated
+    framebuffer, per-tile RNG state, and samples-done counter persist every
+    K dispatches; ``resume=True`` continues an interrupted render from the
+    checkpoint (SURVEY.md §5 — pass-granular resume the reference lacks)."""
     spp = spp or meta.spp
     itype = INTEGRATOR_BY_NAME[integrator]
     rlayer = LAYER_BY_NAME[layer]
@@ -216,9 +224,22 @@ def render(scene: Scene, meta: SceneMeta, spp: int = None,
                for t in range(n_tiles)]
     fb_dev = [None] * n_tiles
 
+    done_already = 0
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        from .utils import checkpoint as CKPT
+        (fb_loaded, rng_loaded), done_already, _ = CKPT.load_checkpoint(
+            checkpoint_path, like=(rng_dev, rng_dev))
+        fb_dev = [jnp.asarray(f) for f in fb_loaded]
+        rng_dev = [jnp.asarray(r) for r in rng_loaded]
+        # skip the passes already accumulated
+        remaining = spp - done_already
+        schedule = [iters] * (max(remaining, 0) // iters)
+        if remaining % iters:
+            schedule.append(remaining % iters)
+
     t0 = _time.time()
     compile_time = 0.0
-    done = 0
+    done = done_already
     for p, n_iters in enumerate(schedule):
         for t in range(n_tiles):
             tc0 = _time.time()
@@ -230,6 +251,13 @@ def render(scene: Scene, meta: SceneMeta, spp: int = None,
                 contrib.block_until_ready()
                 compile_time = _time.time() - tc0
         done += n_iters
+        if (checkpoint_path and checkpoint_every
+                and (p + 1) % checkpoint_every == 0):
+            from .utils import checkpoint as CKPT
+            fb_host = [np.asarray(f) for f in fb_dev]
+            rng_host = [np.asarray(r) for r in rng_dev]
+            CKPT.save_checkpoint(checkpoint_path, (fb_host, rng_host),
+                                 step=done)
         if progress:
             print(f'rendering, progress = {100.0 * done / spp:.2f} %', end='\r')
     if progress:

@@ -673,9 +673,15 @@ class Scene:
 
 
 def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False,
-               width: Optional[int] = None, height: Optional[int] = None
+               width: Optional[int] = None, height: Optional[int] = None,
+               look_at_override=None, cam_id: int = 0
                ) -> tuple[Scene, SceneMeta]:
-    """Full scene load: the analog of Integrator::LoadScene (3.1/3.4 in SURVEY)."""
+    """Full scene load: the analog of Integrator::LoadScene (3.1/3.4 in SURVEY).
+
+    ``look_at_override``: 16 floats, row-major world-view matrix replacing
+    the scene camera's view transform (the -look_at CLI flag,
+    main.cpp look-at override).  ``cam_id``: multi-camera scene selector
+    (SetCamId, integrator_pt_scene.cpp:1143-1180)."""
     xml = hydra_xml.HydraScene(scene_path, scene_dir)
 
     settings = xml.settings()
@@ -926,7 +932,8 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
     # ---- camera (LoadSceneCamera, integrator_pt_scene.cpp:645-726) --------
     from ..utils import lmath
     cams = xml.cameras()
-    cam = cams[0] if cams else None
+    cam = (cams[cam_id] if cams and 0 <= cam_id < len(cams)
+           else (cams[0] if cams else None))
     aspect = float(fb_w) / float(fb_h)
     if cam is not None:
         proj = lmath.perspective_matrix(cam.fov, aspect, cam.near_plane, cam.far_plane)
@@ -973,6 +980,10 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         world_view = np.eye(4, dtype=np.float32)
         exposure, cam_target_dist, lens_radius = 1.0, 10.0, 0.0
         lens_lines, phys_size = (), (0.0, 0.0)
+    if look_at_override is not None:
+        # -look_at: row-major 4x4 view matrix override (user_guide.md:66-68)
+        world_view = np.asarray(look_at_override,
+                                np.float32).reshape(4, 4)
     proj_inv = np.linalg.inv(proj).astype(np.float32)
     world_view_inv = np.linalg.inv(world_view).astype(np.float32)
 
