@@ -51,6 +51,16 @@ def _one_sample(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
 
     if channels == 1:
         contrib = accum[..., :1] * meta.exposure_mult
+    elif channels > 4:
+        # N-channel spectral framebuffer (integrator_pt.cpp:642-654): each
+        # hero-wavelength lane adds into its spectral band channel
+        t = ((wavelengths - SPEC.LAMBDA_MIN)
+             / (SPEC.LAMBDA_MAX - SPEC.LAMBDA_MIN))
+        ch = jnp.minimum((t * channels).astype(jnp.int32), channels - 1)
+        color = accum * meta.exposure_mult
+        contrib = jnp.zeros(accum.shape[:-1] + (channels,), jnp.float32)
+        rows = jnp.arange(accum.shape[0])[:, None]
+        contrib = contrib.at[rows, ch].add(color)
     elif meta.spectral_mode:
         terminate = (flags & jnp.uint32(C.RAY_FLAG_WAVES_DIVERGED)) != 0
         xyz = SPEC.spectrum_to_xyz(accum, wavelengths, scene.cie_xyz, terminate)

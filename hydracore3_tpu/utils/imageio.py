@@ -27,9 +27,18 @@ def save_exr(path: str, img: np.ndarray, norm_const: float = 1.0):
     if c == 4:
         img = img[..., :3]
         c = 3
-    channel_names = ['Y'] if c == 1 else ['B', 'G', 'R']  # alphabetical order
-    # channel data must be stored in alphabetical channel order
-    chan_src = {'Y': 0} if c == 1 else {'B': 2, 'G': 1, 'R': 0}
+    if c == 1:
+        channel_names = ['Y']
+        chan_src = {'Y': 0}
+    elif c == 3:
+        channel_names = ['B', 'G', 'R']  # alphabetical order
+        chan_src = {'B': 2, 'G': 1, 'R': 0}
+    else:
+        # multi-channel spectral framebuffer (the reference's 3D spectral
+        # EXR, imageutils.cpp SaveFrameBufferToEXR channels>4 path);
+        # zero-padded names keep alphabetical == band order
+        channel_names = [f's{i:03d}' for i in range(c)]
+        chan_src = {n: i for i, n in enumerate(channel_names)}
 
     chlist = b''
     for name in channel_names:
