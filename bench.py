@@ -27,8 +27,8 @@ def main():
     spp = int(os.environ.get('BENCH_SPP', '64'))
     scene, meta = SB.load_scene(CORNELL, width=width, height=height)
 
-    # warmup + compile
-    R.render(scene, meta, spp=1, integrator='mispt', iters_per_dispatch=1)
+    # warmup + compile (n_iters is dynamic: same executable as the timed run)
+    R.render(scene, meta, spp=1, integrator='mispt')
 
     t0 = time.time()
     img = R.render(scene, meta, spp=spp, integrator='mispt')

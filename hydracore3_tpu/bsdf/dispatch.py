@@ -46,9 +46,12 @@ def _fetch_rows(table, idx, n_rows):
         onehot = jax.nn.one_hot(idx, n_rows, dtype=table.dtype
                                 if table.dtype in (jnp.float32, jnp.bfloat16)
                                 else jnp.float32)
+        # HIGHEST: TPU's default bf16 matmul would quantize material params
+        hi = jax.lax.Precision.HIGHEST
         if table.dtype in (jnp.float32, jnp.bfloat16):
-            return onehot @ table
-        return (onehot @ table.astype(jnp.float32)).astype(table.dtype)
+            return jnp.matmul(onehot, table, precision=hi)
+        return jnp.matmul(onehot, table.astype(jnp.float32),
+                          precision=hi).astype(table.dtype)
     return table[idx]
 
 
@@ -63,7 +66,8 @@ def gather_material(scene: Scene, mat_id):
     """
     M = scene.mat_packed_f32.shape[0]
     f = _fetch_rows(scene.mat_packed_f32, mat_id, M)
-    ints = scene.mat_packed_i32[mat_id]
+    from ..ops.gather import gather_rows_i32
+    ints = gather_rows_i32(scene.mat_packed_i32, mat_id, scene.ints_exact)
     return dict(
         mtype=ints[..., 0].astype(jnp.uint32),
         cflags=ints[..., 1].astype(jnp.uint32),

@@ -29,7 +29,8 @@ def gather_light(scene: Scene, light_id):
     L = scene.light_packed_f32.shape[0]
     lid = jnp.clip(light_id, 0, L - 1)
     f = _fetch_rows(scene.light_packed_f32, lid, L)
-    ints = scene.light_packed_i32[lid]
+    from .ops.gather import gather_rows_i32
+    ints = gather_rows_i32(scene.light_packed_i32, lid)
     sh = f.shape[:-1]
     return dict(
         pos=f[..., 0:4], norm=f[..., 4:8], intensity=f[..., 8:12],

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from ..utils import lmath as LM
 from ..ops import rng as RNG
+from ..ops import gather as GA
 from ..ops import texture as TEX
 from ..ops import spectrum as SPEC
 from ..accel import traverse as ACC
@@ -270,7 +271,9 @@ def kernel_init_eye_ray(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
 
 def _remap_material_id(scene: Scene, mat_id, inst_id):
     """RemapMaterialId (integrator_pt_mat.cpp:530-573), vectorized binary search."""
-    remap_list_id = scene.remap_inst[jnp.clip(inst_id, 0, scene.remap_inst.shape[0] - 1), 0]
+    remap_list_id = GA.gather_rows_i32(
+        scene.remap_inst,
+        jnp.clip(inst_id, 0, scene.remap_inst.shape[0] - 1))[..., 0]
     has_remap = remap_list_id >= 0
     rl = jnp.maximum(remap_list_id, 0)
     base = scene.all_remap_lists_size
@@ -480,7 +483,9 @@ def kernel_next_bounce(scene: Scene, meta: SceneMeta, state: RayState, bounce: i
     is_light_mat = md_mtype == jnp.uint32(MAT_TYPE_LIGHT_SOURCE)
 
     # ---- light-hit branch (integrator_pt.cpp:461-506) ----------------------
-    light_id = scene.remap_inst[jnp.clip(state.hit_inst, 0, scene.remap_inst.shape[0] - 1), 1]
+    light_id = GA.gather_rows_i32(
+        scene.remap_inst,
+        jnp.clip(state.hit_inst, 0, scene.remap_inst.shape[0] - 1))[..., 1]
     emiss = md['colors'][..., EMISSION_COLOR, :]
     light_intensity = emiss * tex_color
 

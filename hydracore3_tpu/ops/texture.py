@@ -61,7 +61,7 @@ class TexturePoolBuilder:
         self._total += w * h
         return slot
 
-    def finish(self) -> 'TexturePool':
+    def finish(self, quad_pack_max_texels: int = 1 << 26) -> 'TexturePool':
         table = np.array(self._table, np.int32)
         texels = np.concatenate(self._texels, axis=0)
         if len(texels) % 32:  # 128-lane alignment for the wide-row gather
@@ -69,8 +69,38 @@ class TexturePoolBuilder:
                 [texels, np.zeros((32 - len(texels) % 32, 4), np.float32)])
         all_linear = bool((table[:, 3] == FILTER_LINEAR).all()
                           or len(table) <= 1)
+
+        # Quad packing: store each texel's full 2x2 bilinear footprint
+        # (neighbors pre-wrapped per the slot's addressing mode) as one
+        # 16-float row, so a bilinear tap is ONE wide gather instead of
+        # four (the gather, not the math, dominates the TPU profile).
+        # 4x texel memory; disabled beyond quad_pack_max_texels.
+        quad = None
+        if self._total <= quad_pack_max_texels:
+            quads = []
+            for img, (off, w, h, filt, au, av) in zip(self._texels, self._table):
+                t = img.reshape(h, w, 4)
+                if au == ADDR_WRAP:
+                    xr = np.roll(t, -1, axis=1)
+                else:
+                    xr = t[:, np.minimum(np.arange(w) + 1, w - 1), :]
+                if av == ADDR_WRAP:
+                    yr = np.roll(t, -1, axis=0)
+                    xyr = np.roll(xr, -1, axis=0)
+                else:
+                    iy = np.minimum(np.arange(h) + 1, h - 1)
+                    yr = t[iy]
+                    xyr = xr[iy]
+                q = np.concatenate([t, xr, yr, xyr], axis=-1)  # c00 c10 c01 c11
+                quads.append(q.reshape(-1, 16).astype(np.float32))
+            quad = np.concatenate(quads, axis=0)
+            if len(quad) % 8:  # 8 rows of 16 per 128-lane line
+                quad = np.concatenate(
+                    [quad, np.zeros((8 - len(quad) % 8, 16), np.float32)])
+
         return TexturePool(
             texels=jnp.asarray(texels),
+            quad_texels=None if quad is None else jnp.asarray(quad),
             offset=jnp.asarray(table[:, 0]),
             width=jnp.asarray(table[:, 1]),
             height=jnp.asarray(table[:, 2]),
@@ -89,6 +119,9 @@ class TexturePool:
     filter: jnp.ndarray   # [T] i32
     addr_u: jnp.ndarray   # [T] i32
     addr_v: jnp.ndarray   # [T] i32
+    # [P', 16] f32: per-texel 2x2 bilinear footprint (see finish()); None
+    # when the pool is too large for 4x quad memory
+    quad_texels: jnp.ndarray = None
     # static: every slot is FILTER_LINEAR -> the nearest tap is skipped
     all_linear: bool = False
 
@@ -96,7 +129,7 @@ class TexturePool:
 jax.tree_util.register_dataclass(
     TexturePool,
     data_fields=['texels', 'offset', 'width', 'height', 'filter',
-                 'addr_u', 'addr_v'],
+                 'addr_u', 'addr_v', 'quad_texels'],
     meta_fields=['all_linear'])
 
 
@@ -119,6 +152,57 @@ def _norm_coord(u, mode):
            jnp.where(mode == ADDR_MIRROR, mirrored, clamped))
 
 
+def _sample_quad(pool: TexturePool, tex_id, uv):
+    """Bilinear tap via the quad-packed pool: ONE wide gather per sample
+    (all four 2x2 corners live in one 16-float row, neighbors pre-wrapped
+    per the slot's addressing mode at build time)."""
+    from .gather import gather_rows
+
+    off = pool.offset[tex_id]
+    w = pool.width[tex_id]
+    h = pool.height[tex_id]
+    au = pool.addr_u[tex_id]
+    av = pool.addr_v[tex_id]
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    is_wrap_u = au == ADDR_WRAP
+    is_wrap_v = av == ADDR_WRAP
+
+    ffx = _norm_coord(uv[..., 0], au) * wf - 0.5
+    ffy = _norm_coord(uv[..., 1], av) * hf - 0.5
+    # clamp-family modes: pre-clamping ffx into [0, w-1] reproduces the
+    # per-corner clip exactly (both corners collapse at the borders)
+    ffx = jnp.where(is_wrap_u, ffx, jnp.clip(ffx, 0.0, wf - 1.0))
+    ffy = jnp.where(is_wrap_v, ffy, jnp.clip(ffy, 0.0, hf - 1.0))
+    px = jnp.floor(ffx)
+    py = jnp.floor(ffy)
+    fx = (ffx - px)[..., None]
+    fy = (ffy - py)[..., None]
+    px = px.astype(jnp.int32)
+    py = py.astype(jnp.int32)
+    # wrap is the only mode that can produce -1 here
+    wx = jnp.where(px < 0, w - 1, px)
+    wy = jnp.where(py < 0, h - 1, py)
+
+    qidx = (off + wy * w + wx).reshape(-1)
+    row = gather_rows(pool.quad_texels, qidx).reshape(uv.shape[:-1] + (16,))
+    c00, c10 = row[..., 0:4], row[..., 4:8]
+    c01, c11 = row[..., 8:12], row[..., 12:16]
+    bilinear = (c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)
+                + c01 * (1 - fx) * fy + c11 * fx * fy)
+    if pool.all_linear:
+        return bilinear
+
+    # nearest = int(u*w) is always one of the quad corners (fx >= 0.5
+    # selects the +1 corner; see the clamp/wrap case analysis above)
+    right = fx >= 0.5
+    down = fy >= 0.5
+    nearest = jnp.where(right, jnp.where(down, c11, c10),
+                        jnp.where(down, c01, c00))
+    filt = pool.filter[tex_id]
+    return jnp.where((filt == FILTER_LINEAR)[..., None], bilinear, nearest)
+
+
 def sample(pool: TexturePool, tex_id, uv):
     """Batched texture sample.
 
@@ -127,6 +211,8 @@ def sample(pool: TexturePool, tex_id, uv):
     No dynamic integer division anywhere (see _norm_coord).
     """
     tex_id = jnp.asarray(tex_id, jnp.int32)
+    if pool.quad_texels is not None:
+        return _sample_quad(pool, tex_id, uv)
     off = pool.offset[tex_id]
     w = pool.width[tex_id]
     h = pool.height[tex_id]

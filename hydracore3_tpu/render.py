@@ -74,13 +74,15 @@ def _one_sample(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
 
 
 @functools.partial(jax.jit, static_argnames=('meta', 'integrator_type',
-                                             'render_layer', 'channels',
-                                             'n_iters'))
+                                             'render_layer', 'channels'))
 def _render_tile(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
                  integrator_type: int, render_layer: int, channels: int,
-                 n_iters: int):
+                 n_iters):
     """n_iters samples per pixel in one dispatch (the RTVPersistent_Iters
-    loop, integrator_pt.cpp:721-723). Returns (sum contrib [N, C], rng)."""
+    loop, integrator_pt.cpp:721-723). Returns (sum contrib [N, C], rng).
+
+    ``n_iters`` is a DYNAMIC scalar: one compiled executable serves every
+    spp schedule (compiling the fused pass program is expensive)."""
     def body(_, carry):
         fb, rng = carry
         contrib, rng, _ = _one_sample(scene, meta, rng, pixel_ids,
@@ -88,9 +90,14 @@ def _render_tile(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
         return fb + contrib, rng
 
     fb0 = jnp.zeros(pixel_ids.shape + (channels,), jnp.float32)
-    if n_iters == 1:
-        return body(0, (fb0, rng_state))
-    return jax.lax.fori_loop(0, n_iters, body, (fb0, rng_state))
+    if isinstance(n_iters, int):
+        # static trip count: reverse-differentiable (the DR/dryrun path
+        # calls ``_render_tile.__wrapped__`` with a Python int)
+        if n_iters == 1:
+            return body(0, (fb0, rng_state))
+        return jax.lax.fori_loop(0, n_iters, body, (fb0, rng_state))
+    return jax.lax.fori_loop(0, jnp.asarray(n_iters, jnp.int32), body,
+                             (fb0, rng_state))
 
 
 @functools.partial(jax.jit, static_argnames=('meta', 'integrator_type',
@@ -192,7 +199,7 @@ def render_qmc(scene: Scene, meta: SceneMeta, spp: int = None,
 
 def render(scene: Scene, meta: SceneMeta, spp: int = None,
            integrator: str = 'mispt', layer: str = 'color', channels: int = 4,
-           tile_size: int = 1 << 17, iters_per_dispatch: int = 1,
+           tile_size: int = 1 << 17, iters_per_dispatch: int = 0,
            progress: bool = False, return_timing: bool = False,
            checkpoint_path: str = None, checkpoint_every: int = 0,
            resume: bool = False):
@@ -207,6 +214,11 @@ def render(scene: Scene, meta: SceneMeta, spp: int = None,
     rlayer = LAYER_BY_NAME[layer]
     W, H = meta.width, meta.height
     N = W * H
+    if iters_per_dispatch <= 0:
+        # default: the whole spp budget in one dispatch per tile, unless
+        # checkpointing needs finer granularity (host round-trips through
+        # the device relay dominate otherwise)
+        iters_per_dispatch = 1 if (checkpoint_path and checkpoint_every) else spp
 
     pixel_all = np.arange(N, dtype=np.int32)
     rng_all = np.array(RNG.gen_init(pixel_all))  # copy: device views are read-only

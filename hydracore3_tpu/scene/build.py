@@ -671,6 +671,11 @@ class Scene:
     light_packed_f32: jnp.ndarray # [L, 96]
     light_packed_i32: jnp.ndarray # [L, 16]
 
+    # static: True when every packed int fits f32's 24-bit mantissa, so int
+    # rows may ride the one-hot MXU gather exactly (ops/gather.py)
+    ints_exact: bool = dataclasses.field(
+        default=True, metadata=dict(static=True))
+
 
 def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False,
                width: Optional[int] = None, height: Optional[int] = None,
@@ -1285,6 +1290,8 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         mat_packed_i32=jnp.asarray(mat_pi),
         light_packed_f32=jnp.asarray(lgt_pf),
         light_packed_i32=jnp.asarray(lgt_pi),
+        ints_exact=bool(np.abs(np.asarray(mat_pi, np.int64)).max(initial=0) < 2**24
+                        and np.abs(np.asarray(lgt_pi, np.int64)).max(initial=0) < 2**24),
     )
 
     meta = SceneMeta(
