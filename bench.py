@@ -27,11 +27,12 @@ def main():
     spp = int(os.environ.get('BENCH_SPP', '64'))
     scene, meta = SB.load_scene(CORNELL, width=width, height=height)
 
+    tile = 1 << 15  # VMEM-resident intermediates (see render.py)
     # warmup + compile (n_iters is dynamic: same executable as the timed run)
-    R.render(scene, meta, spp=1, integrator='mispt')
+    R.render(scene, meta, spp=1, integrator='mispt', tile_size=tile)
 
     t0 = time.time()
-    img = R.render(scene, meta, spp=spp, integrator='mispt')
+    img = R.render(scene, meta, spp=spp, integrator='mispt', tile_size=tile)
     dt = time.time() - t0
     samples = width * height * spp
     msamples_s = samples / dt / 1e6

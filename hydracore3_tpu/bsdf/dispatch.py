@@ -42,6 +42,8 @@ ONE_HOT_MAX = 128  # tables up to this row count are fetched as MXU matmuls
 def _fetch_rows(table, idx, n_rows):
     """Row fetch: one-hot matmul for small tables (fast on TPU — random
     gathers serialize, matmuls don't), plain gather otherwise."""
+    if n_rows == 1:
+        return jnp.broadcast_to(table[0], idx.shape + table.shape[1:])
     if n_rows <= ONE_HOT_MAX:
         onehot = jax.nn.one_hot(idx, n_rows, dtype=table.dtype
                                 if table.dtype in (jnp.float32, jnp.bfloat16)

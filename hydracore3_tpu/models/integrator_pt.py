@@ -588,7 +588,7 @@ def kernel_next_bounce(scene: Scene, meta: SceneMeta, state: RayState, bounce: i
 
 
 def kernel_hit_environment(scene: Scene, meta: SceneMeta, state: RayState,
-                           integrator_type: int) -> RayState:
+                           integrator_type: int, pixel_ids=None) -> RayState:
     """kernel_HitEnvironment (integrator_pt.cpp:550-595)."""
     out = _is_out_of_scene(state.flags)
     env_color, env_pdf = LGT.environment_color(
@@ -606,7 +606,16 @@ def kernel_hit_environment(scene: Scene, meta: SceneMeta, state: RayState,
     elif integrator_type == INTEGRATOR_SHADOW_PT and meta.env_enable_sam:
         env_color = jnp.zeros_like(env_color)
 
-    # camera-back texture (integrator_pt.cpp:578-589) — applied in render.py
+    if meta.has_cam_back and pixel_ids is not None:
+        # camera-back texture replaces env color for prime-ray misses
+        # (integrator_pt.cpp:578-589)
+        x = (pixel_ids % meta.width).astype(jnp.float32)
+        y = (pixel_ids // meta.width).astype(jnp.float32)
+        tc = jnp.stack([(x + 0.5) / meta.width, (y + 0.5) / meta.height], -1)
+        back_id = jnp.broadcast_to(scene.env_cam_back_id, pixel_ids.shape)
+        back = TEX.sample(scene.textures, back_id, tc)
+        env_color = jnp.where(exit_zero[..., None], back, env_color)
+
     if integrator_type == INTEGRATOR_STUPID_PT:
         new_accum = state.throughput * env_color
     else:
@@ -710,6 +719,7 @@ def trace_pass(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
 
         state = jax.lax.fori_loop(1, depth, body_fn, state)
 
-    state = kernel_hit_environment(scene, meta, state, integrator_type)
+    state = kernel_hit_environment(scene, meta, state, integrator_type,
+                                   out_pixels)
     return (state.accum_color, state.wavelengths, state.flags, state.rng,
             out_pixels)

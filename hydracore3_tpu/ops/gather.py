@@ -59,6 +59,9 @@ def gather_rows(table, idx):
     shape = idx.shape
     idx = idx.reshape(-1)
     R, C = table.shape
+    if R == 1:
+        # single row: the gather is a broadcast, which fuses into consumers
+        return jnp.broadcast_to(table[0], shape + (C,))
     if R <= ONE_HOT_MAX:
         out = _onehot_matmul(table, idx, R)
     elif 128 % C == 0 and (R * C) % 128 == 0:
@@ -80,6 +83,8 @@ def gather_rows_i32(table, idx, exact: bool = True):
     shape = idx.shape
     idx = idx.reshape(-1)
     R, C = table.shape
+    if R == 1:
+        return jnp.broadcast_to(table[0], shape + (C,))
     if R <= ONE_HOT_MAX:
         if exact:
             out = jnp.round(_onehot_matmul(table.astype(jnp.float32), idx, R)

@@ -199,11 +199,16 @@ def render_qmc(scene: Scene, meta: SceneMeta, spp: int = None,
 
 def render(scene: Scene, meta: SceneMeta, spp: int = None,
            integrator: str = 'mispt', layer: str = 'color', channels: int = 4,
-           tile_size: int = 1 << 17, iters_per_dispatch: int = 0,
+           tile_size: int = 1 << 15, iters_per_dispatch: int = 0,
            progress: bool = False, return_timing: bool = False,
            checkpoint_path: str = None, checkpoint_every: int = 0,
            resume: bool = False):
     """Render a full frame. Returns float32 [H, W, channels] (normalized).
+
+    ``tile_size`` default (32k rays) keeps per-bounce intermediates VMEM-
+    resident on TPU (measured optimum on v5e: 32k -> 13.3 Ms/s vs 786k ->
+    7.6 Ms/s on the Cornell bench — XLA spills fusion outputs to HBM for
+    bigger batches).
 
     With ``checkpoint_path`` + ``checkpoint_every=K`` the accumulated
     framebuffer, per-tile RNG state, and samples-done counter persist every

@@ -532,6 +532,7 @@ class SceneMeta:
     has_env_map: bool = False
     env_enable_sam: bool = False
     has_blend: bool = False
+    has_cam_back: bool = False # camera-back texture (integrator_pt.cpp:578)
     has_ies: bool = False      # KSPEC_LIGHT_IES
     has_proj: bool = False     # KSPEC_LIGHT_PROJECTIVE
     has_spot: bool = False
@@ -1299,6 +1300,7 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         num_lights=len(lights), num_materials=M,
         spectral_mode=spectral_mode, has_motion=has_motion,
         has_env_map=env['tex_id'] >= 0, env_enable_sam=env['enable_sam'],
+        has_cam_back=env['cam_back_id'] >= 0,
         has_blend=MAT_TYPE_BLEND in mat_types_present,
         has_ies=any(l['ies_id'] >= 0 for l in lights),
         has_proj=any((l['flags'] & LIGHT_FLAG_PROJECTIVE) and l['tex_id'] >= 0
