@@ -84,15 +84,64 @@ def gather_material(scene: Scene, mat_id):
     )
 
 
-def sample_mat_color_spectrum(scene, md, wavelengths, color_slot, spec_slot):
-    """SampleMatColorParamSpectrum / ...SpectrumTexture in RGB+spectral modes."""
+def sample_mat_color_spectrum(scene, md, wavelengths, color_slot, spec_slot,
+                              meta=None, tc=None):
+    """SampleMatColorParamSpectrum (integrator_spectrum.cpp:4-23) and, when
+    the scene has per-wavelength texture stacks and ``meta``/``tc`` are
+    given, SampleMatColorSpectrumTexture (integrator_spectrum.cpp:127-183,
+    KSPEC_SPD_TEX)."""
     res = md['colors'][..., color_slot, :]
     spectral = wavelengths[..., 0] > 0.0
     spec_id = md['spdid'][..., spec_slot]
     has_spd = spec_id != jnp.int32(-1)
-    offset = scene.spec_offset_sz[jnp.clip(spec_id, 0, scene.spec_offset_sz.shape[0] - 1), 0]
+    sid = jnp.clip(spec_id, 0, scene.spec_offset_sz.shape[0] - 1)
+    offset = scene.spec_offset_sz[sid, 0]
     sampled = SPEC.sample_uniform_spectrum(scene.spec_values, offset, wavelengths)
-    return jnp.where((spectral & has_spd)[..., None], sampled, res)
+    out = jnp.where((spectral & has_spd)[..., None], sampled, res)
+
+    if meta is not None and getattr(meta, 'has_spd_tex', False) and tc is not None:
+        from ..ops.gather import gather_1d
+        toff = gather_rows_like(scene.spec_tex_offset_sz, sid)
+        tex_off, tex_sz = toff[..., 0], toff[..., 1]
+        has_tex = has_spd & (tex_sz > 0)
+        tc_t = mul_rows_2x4(md['row0'][..., 0, :], md['row1'][..., 0, :], tc)
+        K = meta.spd_tex_max_sz
+        base = jnp.clip(tex_off, 0, scene.spec_tex_wl.shape[0] - 1)
+        w_first = gather_1d(scene.spec_tex_wl, base)
+        w_last = gather_1d(scene.spec_tex_wl,
+                           jnp.clip(base + tex_sz - 1, 0,
+                                    scene.spec_tex_wl.shape[0] - 1))
+        lane_vals = [jnp.zeros(wavelengths.shape[:-1], jnp.float32)
+                     for _ in range(4)]
+        for j in range(max(K - 1, 0)):
+            idx0 = jnp.clip(base + j, 0, scene.spec_tex_wl.shape[0] - 1)
+            idx1 = jnp.clip(base + j + 1, 0, scene.spec_tex_wl.shape[0] - 1)
+            w0 = gather_1d(scene.spec_tex_wl, idx0)
+            w1 = gather_1d(scene.spec_tex_wl, idx1)
+            t1 = gather_1d(scene.spec_tex_texid, idx0)
+            t2 = gather_1d(scene.spec_tex_texid, idx1)
+            c1 = TEX.sample(scene.textures, _clamp_tex(scene, t1), tc_t)[..., 0]
+            c2 = TEX.sample(scene.textures, _clamp_tex(scene, t2), tc_t)[..., 0]
+            seg_ok = (j + 1) < tex_sz
+            for i in range(4):
+                wl_i = wavelengths[..., i]
+                inseg = seg_ok & (wl_i >= w0) & (wl_i < w1)
+                # last segment includes its right endpoint
+                inseg = inseg | (seg_ok & ((j + 2) == tex_sz) & (wl_i == w1))
+                t = (wl_i - w0) / jnp.maximum(w1 - w0, 1e-6)
+                lane_vals[i] = jnp.where(inseg, c1 * (1.0 - t) + c2 * t,
+                                         lane_vals[i])
+        tex_res = jnp.stack(lane_vals, axis=-1)
+        in_range = ((wavelengths >= w_first[..., None])
+                    & (wavelengths <= w_last[..., None]))
+        tex_res = jnp.where(in_range, tex_res, 0.0)
+        out = jnp.where((spectral & has_tex)[..., None], tex_res, out)
+    return out
+
+
+def gather_rows_like(table, idx):
+    from ..ops.gather import gather_rows_i32
+    return gather_rows_i32(table, idx)
 
 
 def sample_mat_param_spectrum(scene, md, wavelengths, param_slot, spec_slot):
@@ -264,7 +313,7 @@ def material_sample_and_eval(scene: Scene, meta: SceneMeta, mat_id, wavelengths,
         s = GLTF.sample_and_eval(md, rands, v, shade_normal, base, four_params)
         res = _merge(md['mtype'] == MAT_TYPE_GLTF, s, res)
     if MAT_TYPE_DIFFUSE in types:
-        refl = sample_mat_color_spectrum(scene, md, wavelengths, DIFFUSE_COLOR, 0)
+        refl = sample_mat_color_spectrum(scene, md, wavelengths, DIFFUSE_COLOR, 0, meta, tc)
         if not meta.spectral_mode:
             refl = refl * tex_color
         s = DIFF.sample_and_eval(md, refl, rands, v, shade_normal)
@@ -290,7 +339,7 @@ def material_sample_and_eval(scene: Scene, meta: SceneMeta, mat_id, wavelengths,
         res = _merge(is_glass, s, res)
         new_ior = jnp.where(is_glass, s['ior'], new_ior)
     if MAT_TYPE_PLASTIC in types:
-        refl = sample_mat_color_spectrum(scene, md, wavelengths, PLASTIC_COLOR, 0)
+        refl = sample_mat_color_spectrum(scene, md, wavelengths, PLASTIC_COLOR, 0, meta, tc)
         if not meta.spectral_mode:
             refl = refl * tex_color
         s = PLAST.sample_and_eval(scene, md, refl, rands, v, shade_normal)
@@ -384,7 +433,7 @@ def material_eval(scene: Scene, meta: SceneMeta, mat_id, wavelengths,
             val = jnp.where(sel[..., None], e['val'], val)
             pdf = jnp.where(sel, e['pdf'], pdf)
         if MAT_TYPE_DIFFUSE in types:
-            refl = sample_mat_color_spectrum(scene, md, wavelengths, DIFFUSE_COLOR, 0)
+            refl = sample_mat_color_spectrum(scene, md, wavelengths, DIFFUSE_COLOR, 0, meta, tc)
             if not meta.spectral_mode:
                 refl = refl * tex_color
             e = DIFF.eval(md, refl, l, v, shade_normal)
@@ -405,7 +454,7 @@ def material_eval(scene: Scene, meta: SceneMeta, mat_id, wavelengths,
             # dielectricSmoothEval: zero
             pass
         if MAT_TYPE_PLASTIC in types:
-            refl = sample_mat_color_spectrum(scene, md, wavelengths, PLASTIC_COLOR, 0)
+            refl = sample_mat_color_spectrum(scene, md, wavelengths, PLASTIC_COLOR, 0, meta, tc)
             if not meta.spectral_mode:
                 refl = refl * tex_color
             e = PLAST.eval(scene, md, refl, l, v, shade_normal)

@@ -62,9 +62,32 @@ def _one_sample(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
         rows = jnp.arange(accum.shape[0])[:, None]
         contrib = contrib.at[rows, ch].add(color)
     elif meta.spectral_mode:
-        terminate = (flags & jnp.uint32(C.RAY_FLAG_WAVES_DIVERGED)) != 0
-        xyz = SPEC.spectrum_to_xyz(accum, wavelengths, scene.cie_xyz, terminate)
-        rgb = SPEC.xyz_to_rgb(xyz)
+        if meta.has_cam_response_spectra:
+            # measured camera response spectra (SpectralCamRespoceToRGB,
+            # integrator_spectrum.cpp:78-125): responseY falls back to X,
+            # Z to Y; type XYZ converts, type RGB is direct
+            S = scene.spec_offset_sz.shape[0]
+            ids = scene.cam_response_spec_id
+
+            def resp(i, fallback):
+                off = scene.spec_offset_sz[jnp.clip(ids[i], 0, S - 1), 0]
+                off = jnp.broadcast_to(off, wavelengths.shape[:-1])
+                r = SPEC.sample_uniform_spectrum(scene.spec_values, off,
+                                                 wavelengths)
+                return jnp.where(ids[i] >= 0, r, fallback)
+
+            rx = resp(0, jnp.ones_like(wavelengths))
+            ry = resp(1, rx)
+            rz = resp(2, ry)
+            xyz = jnp.stack([jnp.sum(accum * rx, -1),
+                             jnp.sum(accum * ry, -1),
+                             jnp.sum(accum * rz, -1)], -1)
+            rgb = SPEC.xyz_to_rgb(xyz) if meta.cam_response_type == 0 else xyz
+        else:
+            terminate = (flags & jnp.uint32(C.RAY_FLAG_WAVES_DIVERGED)) != 0
+            xyz = SPEC.spectrum_to_xyz(accum, wavelengths, scene.cie_xyz,
+                                       terminate)
+            rgb = SPEC.xyz_to_rgb(xyz)
         contrib = jnp.concatenate([rgb * meta.exposure_mult,
                                    jnp.ones_like(rgb[..., :1])], -1)[..., :channels]
     else:

@@ -222,6 +222,20 @@ class TexCache:
                        addr_u=tex.ADDR_CLAMP, addr_v=tex.ADDR_CLAMP) -> int:
         return self.pool.add(img, filt, addr_u, addr_v)
 
+    def slot_by_id(self, tex_id: int) -> int:
+        """LoadTextureById (integrator_pt_scene_tex.cpp:129-144): default
+        sampler, gamma DISABLED — used for spectral textures."""
+        key = (tex_id, tex.ADDR_WRAP, tex.ADDR_WRAP, tex.FILTER_LINEAR, True)
+        if key not in self.cache:
+            info = self.infos.get(tex_id)
+            if info is None:
+                self.cache[key] = 0
+            else:
+                img = self._load(info, srgb=False)
+                self.cache[key] = self.pool.add(img, tex.FILTER_LINEAR,
+                                                tex.ADDR_WRAP, tex.ADDR_WRAP)
+        return self.cache[key]
+
 
 # ---------------------------------------------------------------------------
 # Material converters (integrator_pt_scene_mat.cpp)
@@ -533,6 +547,11 @@ class SceneMeta:
     env_enable_sam: bool = False
     has_blend: bool = False
     has_cam_back: bool = False # camera-back texture (integrator_pt.cpp:578)
+    has_spd_tex: bool = False  # KSPEC_SPD_TEX spectral textures
+    spd_tex_max_sz: int = 0    # longest per-spectrum texture-ref list
+    # 0 = CIE-XYZ (or measured-XYZ) response, 1 = measured-RGB response
+    cam_response_type: int = 0
+    has_cam_response_spectra: bool = False
     has_ies: bool = False      # KSPEC_LIGHT_IES
     has_proj: bool = False     # KSPEC_LIGHT_PROJECTIVE
     has_spot: bool = False
@@ -642,6 +661,11 @@ class Scene:
     # spectra
     spec_values: jnp.ndarray    # [..] f32
     spec_offset_sz: jnp.ndarray # [S,2] i32
+    # spectral textures (KSPEC_SPD_TEX, integrator_spectrum.cpp:127-183):
+    # per-spectrum (offset, count) into the (texid, wavelength) ref lists
+    spec_tex_offset_sz: jnp.ndarray  # [S,2] i32
+    spec_tex_texid: jnp.ndarray      # [K] i32
+    spec_tex_wl: jnp.ndarray         # [K] f32
 
     # environment
     env_color: jnp.ndarray      # [4]
@@ -657,6 +681,7 @@ class Scene:
     proj_inv: jnp.ndarray       # [4,4]
     world_view_inv: jnp.ndarray # [4,4]
     cam_response_rgb: jnp.ndarray  # [4]
+    cam_response_spec_id: jnp.ndarray  # [3] i32 (X/Y/Z response spectra)
 
     # textures
     textures: tex.TexturePool
@@ -870,7 +895,15 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
     # (LoadSceneSpectrumData runs before materials in the reference too,
     # integrator_pt_scene.cpp:959-1010)
     from . import spd
-    spec_values, spec_offset_sz = spd.load_scene_spectra(xml.spectra())
+    (spec_values, spec_offset_sz, spec_tex_offset_sz, spec_tex_texid,
+     spec_tex_wl) = spd.load_scene_spectra(xml.spectra())
+    has_spd_tex = bool((spec_tex_offset_sz[:, 1] > 0).any())
+    spd_tex_max_sz = int(spec_tex_offset_sz[:, 1].max()) if has_spd_tex else 0
+    # remap spectral-texture XML ids to pool slots (LoadSpectralTextures,
+    # integrator_pt_scene_mat.cpp:145-173; gamma disabled per LoadTextureById)
+    if has_spd_tex:
+        spec_tex_texid = np.array(
+            [tc.slot_by_id(int(t)) for t in spec_tex_texid], np.int32)
 
     # ---- materials --------------------------------------------------------
     from . import build_film
@@ -937,6 +970,9 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
 
     # ---- camera (LoadSceneCamera, integrator_pt_scene.cpp:645-726) --------
     from ..utils import lmath
+    cam_response_type = 0
+    cam_response_ids = [-1, -1, -1]
+    cam_response_rgb = np.array([1, 1, 1, 1], np.float32)
     cams = xml.cameras()
     cam = (cams[cam_id] if cams and 0 <= cam_id < len(cams)
            else (cams[0] if cams else None))
@@ -957,6 +993,19 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         if dof is not None and int(_read1f(dof)) != 0:
             lr = cam.node.find('dof_lens_radius')
             lens_radius = _read1f(lr, 0.0)
+        # sensor response (integrator_pt_scene.cpp:688-711): measured
+        # camera response spectra (spectral mode) or an RGB multiplier
+        sensor = cam.node.find('sensor')
+        if sensor is not None and sensor.find('response') is not None:
+            resp = sensor.find('response')
+            cam_response_type = 0 if (resp.get('type') or 'xyz').lower() == 'xyz' else 1
+            sids = [int(sp.get('id', '-1')) for sp in resp.findall('spectrum')][:3]
+            cam_response_ids = (sids + [-1, -1, -1])[:3]
+            cnode = resp.find('color')
+            if cnode is not None and cnode.get('val'):
+                cam_response_rgb = np.array(
+                    [float(x) for x in cnode.get('val').split()][:3] + [1.0],
+                    np.float32)
         # optics simulator: full lens stack (LoadOpticsFromNode,
         # integrator_pt_scene.cpp:1078-1141). Static per scene -> lives in
         # SceneMeta so XLA constant-folds the element loop.
@@ -1274,6 +1323,9 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         precomp_films=jnp.asarray(film_arrays[3]),
         spec_values=jnp.asarray(spec_values),
         spec_offset_sz=jnp.asarray(spec_offset_sz),
+        spec_tex_offset_sz=jnp.asarray(spec_tex_offset_sz),
+        spec_tex_texid=jnp.asarray(spec_tex_texid),
+        spec_tex_wl=jnp.asarray(spec_tex_wl),
         env_color=jnp.asarray(env['color']),
         env_tex_id=jnp.asarray(np.int32(env['tex_id'])),
         env_sam_row0=jnp.asarray(env['sam_row0']),
@@ -1284,7 +1336,8 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         env_cam_back_id=jnp.asarray(np.int32(env['cam_back_id'])),
         proj_inv=jnp.asarray(proj_inv),
         world_view_inv=jnp.asarray(world_view_inv),
-        cam_response_rgb=jnp.asarray(np.array([1, 1, 1, 1], np.float32)),
+        cam_response_rgb=jnp.asarray(cam_response_rgb),
+        cam_response_spec_id=jnp.asarray(np.array(cam_response_ids, np.int32)),
         textures=pool,
         cie_xyz=jnp.asarray(cie),
         mat_packed_f32=jnp.asarray(mat_pf),
@@ -1301,6 +1354,9 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         spectral_mode=spectral_mode, has_motion=has_motion,
         has_env_map=env['tex_id'] >= 0, env_enable_sam=env['enable_sam'],
         has_cam_back=env['cam_back_id'] >= 0,
+        has_spd_tex=has_spd_tex, spd_tex_max_sz=spd_tex_max_sz,
+        cam_response_type=cam_response_type,
+        has_cam_response_spectra=any(i >= 0 for i in cam_response_ids),
         has_blend=MAT_TYPE_BLEND in mat_types_present,
         has_ies=any(l['ies_id'] >= 0 for l in lights),
         has_proj=any((l['flags'] & LIGHT_FLAG_PROJECTIVE) and l['tex_id'] >= 0

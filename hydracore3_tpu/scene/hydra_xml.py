@@ -77,6 +77,11 @@ class TextureInfo:
 class SpectrumInfo:
     spec_id: int
     path: str
+    # spectral texture: [(tex_id, wavelength), ...] pairs from the
+    # lambda_ref_ids attribute (integrator_pt_scene.cpp:363-377)
+    lambda_ref_ids: Optional[np.ndarray] = None
+    # inline 'lambda value lambda value ...' spectrum (value attribute)
+    inline_value: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -177,9 +182,16 @@ class HydraScene:
             return res
         for node in self.spectra_lib.findall('spectrum'):
             loc = node.get('loc') or ''
+            refs = node.get('lambda_ref_ids')
+            refs_arr = None
+            if refs is not None:
+                vals = np.array([float(x) for x in refs.split()], np.float32)
+                refs_arr = vals.reshape(-1, 2)  # (wavelength, tex_id) pairs
             res.append(SpectrumInfo(
                 spec_id=int(node.get('id', '0')),
-                path=os.path.join(self.scene_dir, loc)))
+                path=os.path.join(self.scene_dir, loc),
+                lambda_ref_ids=refs_arr,
+                inline_value=node.get('value')))
         return res
 
     def material_nodes(self) -> list[etree._Element]:

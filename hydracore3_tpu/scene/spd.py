@@ -44,18 +44,40 @@ def parse_spectrum_str(s: str) -> tuple[np.ndarray, np.ndarray]:
     return arr[:, 0], arr[:, 1]
 
 
-def load_scene_spectra(infos) -> tuple[np.ndarray, np.ndarray]:
-    """Returns (spec_values [P] f32, spec_offset_sz [S,2] i32)."""
+def load_scene_spectra(infos):
+    """Returns (spec_values [P] f32, spec_offset_sz [S,2] i32,
+    spec_tex_offset_sz [S,2] i32, spec_tex_texid [K] i32,
+    spec_tex_wl [K] f32).
+
+    Three spectrum kinds (LoadSceneSpectrumData, integrator_pt_scene.cpp:
+    358-419): ``lambda_ref_ids`` -> per-wavelength TEXTURE references
+    (KSPEC_SPD_TEX); inline ``value`` attribute; ``.spd`` file.
+    """
     values = []
     offset_sz = []
+    tex_offset_sz = []
+    tex_texid = []
+    tex_wl = []
     total = 0
     for info in infos:
-        try:
-            wl, v = load_spd_file(info.path)
-        except OSError:
-            wl, v = np.zeros(0, np.float32), np.zeros(0, np.float32)
+        if getattr(info, 'lambda_ref_ids', None) is not None:
+            pairs = info.lambda_ref_ids  # rows of (wavelength, tex_id)
+            tex_offset_sz.append((len(tex_texid), len(pairs)))
+            for wl_v, tid in pairs:
+                tex_texid.append(int(tid))
+                tex_wl.append(float(wl_v))
+            offset_sz.append((0x7FFFFFFF, 0))
+            continue
+        if getattr(info, 'inline_value', None) is not None:
+            wl, v = parse_spectrum_str(info.inline_value)
+        else:
+            try:
+                wl, v = load_spd_file(info.path)
+            except OSError:
+                wl, v = np.zeros(0, np.float32), np.zeros(0, np.float32)
         uni = resample_uniform(wl, v)
         offset_sz.append((total, uni.size))
+        tex_offset_sz.append((-1, 0))
         values.append(uni)
         total += uni.size
     if not offset_sz:
@@ -64,5 +86,9 @@ def load_scene_spectra(infos) -> tuple[np.ndarray, np.ndarray]:
                                np.ones(4, np.float32))
         values.append(uni)
         offset_sz.append((0, uni.size))
+        tex_offset_sz.append((-1, 0))
     return (np.concatenate(values).astype(np.float32),
-            np.array(offset_sz, np.int32))
+            np.array(offset_sz, np.int64).astype(np.int32),
+            np.array(tex_offset_sz, np.int64).astype(np.int32),
+            np.array(tex_texid if tex_texid else [0], np.int32),
+            np.array(tex_wl if tex_wl else [0.0], np.float32))
