@@ -126,6 +126,17 @@ def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
         v2b = v0b + np.asarray(motion_end[2], np.float32)
         tmin = np.minimum(tmin, np.minimum(np.minimum(v0b, v1b), v2b))
         tmax = np.maximum(tmax, np.maximum(np.maximum(v0b, v1b), v2b))
+    return build_from_aabbs(tmin, tmax, max_leaf, use_native)
+
+
+def build_from_aabbs(tmin: np.ndarray, tmax: np.ndarray,
+                     max_leaf: int = MAX_LEAF,
+                     use_native: bool = True) -> 'FlatBVH':
+    """Build from per-primitive AABBs — used for both triangle BLASes and
+    the instance TLAS (AddInstance/CommitScene analog, CrossRT.h:108-121)."""
+    tmin = np.asarray(tmin, np.float32)
+    tmax = np.asarray(tmax, np.float32)
+    T = len(tmin)
     if use_native:
         native = _build_native(tmin, tmax, max_leaf)
         if native is not None:
