@@ -20,6 +20,7 @@ from ..ops import gather as GA
 from ..ops import texture as TEX
 from ..ops import spectrum as SPEC
 from ..accel import traverse as ACC
+from ..accel import two_level as TL2
 from ..bsdf import common as C
 from ..bsdf import dispatch as MAT
 from ..scene.build import (
@@ -305,48 +306,89 @@ def kernel_ray_trace(scene: Scene, meta: SceneMeta, state: RayState, bounce: int
     t_min = jnp.zeros((N,), jnp.float32)
     t_max = jnp.where(live, _F32MAX, 0.0)  # dead rays trace nothing
 
-    motion = ((scene.tri_dv0, scene.tri_de1, scene.tri_de2, state.time)
-              if meta.has_motion else None)
-    if meta.use_bvh:
-        bvh = dict(bmin=scene.bvh_bmin, bmax=scene.bvh_bmax, skip=scene.bvh_skip,
-                   tri_offset=scene.bvh_tri_offset, tri_count=scene.bvh_tri_count)
-        hit = ACC.intersect_bvh(
-            bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
-            scene.tri_inst_id, scene.tri_geom_id, scene.tri_prim_id,
-            state.ray_pos, state.ray_dir, t_min, t_max, motion=motion)
+    from ..ops.gather import gather_rows, gather_rows_i32, gather_1d
+    if meta.use_two_level:
+        # two-level BLAS/TLAS query with matrix-lerped motion
+        # (RayQuery_NearestHitMotion, CrossRT.h:160-174)
+        tlv = scene.two_level
+        time = state.time
+        ht, tri_g, inst_id, hu, hv = TL2.intersect_two_level(
+            tlv, state.ray_pos, state.ray_dir, t_min, t_max, time=time)
+        found = tri_g >= 0
+        hit_pos = state.ray_pos + (ht * (1.0 - 1e-6))[..., None] * state.ray_dir
+        safe_tri = jnp.maximum(tri_g, 0)
+        safe_inst = jnp.maximum(inst_id, 0)
+        geom = gather_1d(tlv.inst_geom, safe_inst)
+        prim = gather_1d(tlv.obj_prim_id, safe_tri)
+        mv = gather_rows_i32(scene.mat_vert_offset, geom)
+        tri_off = mv[..., 0] + prim
+        vert_off = mv[..., 1]
+        tidx = scene.tri_indices.astype(jnp.int32)
+        ia = gather_1d(tidx, tri_off * 3 + 0) + vert_off
+        ib = gather_1d(tidx, tri_off * 3 + 1) + vert_off
+        ic = gather_1d(tidx, tri_off * 3 + 2) + vert_off
+        wa = (1.0 - hu - hv)[..., None]
+        wb = hu[..., None]
+        wc = hv[..., None]
+        data = (wa * gather_rows(scene.vdata, ia)
+                + wb * gather_rows(scene.vdata, ib)
+                + wc * gather_rows(scene.vdata, ic))
+        # normal matrix: inverse-transpose of the time-lerped instance
+        # matrix (exact motion normals, integrator_pt.cpp:285-292)
+        m0 = gather_rows(tlv.inst_m0, safe_inst)
+        m1 = gather_rows(tlv.inst_m1, safe_inst)
+        m = (m0 + time[..., None] * (m1 - m0)).reshape(-1, 4, 4)
+        nm3 = jnp.transpose(jnp.linalg.inv(m), (0, 2, 1))[:, :3, :3]
+        hit_norm = jnp.einsum('nij,nj->ni', nm3, data[..., 0:3])
+        hit_tang = jnp.einsum('nij,nj->ni', nm3, data[..., 4:7])
+        hit_uv = jnp.stack([data[..., 3], data[..., 7]], -1)
+        mid0 = gather_1d(scene.mat_id_by_prim, tri_off)
+        mid = _remap_material_id(scene, mid0, inst_id)
+        hit_t = ht
+        hit_inst_id = inst_id
     else:
-        hit = ACC.intersect_brute(
-            scene.tri_v0, scene.tri_e1, scene.tri_e2,
-            scene.tri_inst_id, scene.tri_geom_id, scene.tri_prim_id,
-            state.ray_pos, state.ray_dir, t_min, t_max, motion=motion)
+        motion = ((scene.tri_dv0, scene.tri_de1, scene.tri_de2, state.time)
+                  if meta.has_motion else None)
+        if meta.use_bvh:
+            bvh = dict(bmin=scene.bvh_bmin, bmax=scene.bvh_bmax, skip=scene.bvh_skip,
+                       tri_offset=scene.bvh_tri_offset, tri_count=scene.bvh_tri_count)
+            hit = ACC.intersect_bvh(
+                bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
+                scene.tri_inst_id, scene.tri_geom_id, scene.tri_prim_id,
+                state.ray_pos, state.ray_dir, t_min, t_max, motion=motion)
+        else:
+            hit = ACC.intersect_brute(
+                scene.tri_v0, scene.tri_e1, scene.tri_e2,
+                scene.tri_inst_id, scene.tri_geom_id, scene.tri_prim_id,
+                state.ray_pos, state.ray_dir, t_min, t_max, motion=motion)
 
-    found = hit.geom_id >= 0
-    hit_pos = state.ray_pos + (hit.t * (1.0 - 1e-6))[..., None] * state.ray_dir
+        found = hit.geom_id >= 0
+        hit_pos = state.ray_pos + (hit.t * (1.0 - 1e-6))[..., None] * state.ray_dir
 
-    # baked world-space shading row: ONE gather [T,24] instead of
-    # tri_indices x3 + vdata x3 + norm_matrix (the reference's layout,
-    # integrator_pt.cpp:263-292, kept in scene.vdata for the two-level/
-    # motion path; gathers dominate the TPU profile)
-    from ..ops.gather import gather_rows
-    soup = jnp.maximum(hit.soup_id, 0)
-    shade = gather_rows(scene.tri_shade, soup)     # [N,32]
-    if meta.has_motion:
-        # normal/tangent lerp between the two endpoint matrices
-        # (integrator_pt.cpp:285-292)
-        shade = shade + state.time[..., None] * gather_rows(scene.tri_shade_d,
-                                                            soup)
-    # CRT coords: u = weight(B), v = weight(C); barycentric lerp matching
-    # integrator_pt.cpp:270-271 (data = (1-u-v)*A + u*B + v*C)
-    wa = (1.0 - hit.u - hit.v)[..., None]
-    wb = hit.u[..., None]
-    wc = hit.v[..., None]
-    data = wa * shade[..., 0:8] + wb * shade[..., 8:16] + wc * shade[..., 16:24]
-    hit_norm = data[..., 0:3]
-    hit_tang = data[..., 4:7]
-    hit_uv = jnp.stack([data[..., 3], data[..., 7]], -1)
+        # baked world-space shading row: ONE gather [T,24] instead of
+        # tri_indices x3 + vdata x3 + norm_matrix (the reference's layout,
+        # integrator_pt.cpp:263-292, kept in scene.vdata for the two-level/
+        # motion path; gathers dominate the TPU profile)
+        soup = jnp.maximum(hit.soup_id, 0)
+        shade = gather_rows(scene.tri_shade, soup)     # [N,32]
+        if meta.has_motion:
+            # normal/tangent lerp between the two endpoint matrices
+            # (integrator_pt.cpp:285-292)
+            shade = shade + state.time[..., None] * gather_rows(scene.tri_shade_d,
+                                                                soup)
+        # CRT coords: u = weight(B), v = weight(C); barycentric lerp matching
+        # integrator_pt.cpp:270-271 (data = (1-u-v)*A + u*B + v*C)
+        wa = (1.0 - hit.u - hit.v)[..., None]
+        wb = hit.u[..., None]
+        wc = hit.v[..., None]
+        data = wa * shade[..., 0:8] + wb * shade[..., 8:16] + wc * shade[..., 16:24]
+        hit_norm = data[..., 0:3]
+        hit_tang = data[..., 4:7]
+        hit_uv = jnp.stack([data[..., 3], data[..., 7]], -1)
+        mid = shade[..., 24].astype(jnp.int32)  # matId baked in the shade row
+        hit_t = hit.t
+        hit_inst_id = hit.inst_id
 
-    # TODO(motion blur): second normal-matrix set lerped by time via the
-    # two-level path
     hit_norm = LM.normalize(hit_norm)
     hit_tang = LM.normalize(hit_tang)
 
@@ -358,7 +400,6 @@ def kernel_ray_trace(scene: Scene, meta: SceneMeta, state: RayState, bounce: int
     inv_flag = jnp.uint32(C.RAY_FLAG_HAS_INV_NORMAL)
     flags = jnp.where(flip < 0.0, flags | inv_flag, flags & ~inv_flag)
 
-    mid = shade[..., 24].astype(jnp.int32)  # matId baked in the shade row
     flags_hit = _pack_mat_id(flags, mid)
 
     miss_add = jnp.uint32(C.RAY_FLAG_IS_DEAD | C.RAY_FLAG_OUT_OF_SCENE
@@ -373,8 +414,8 @@ def kernel_ray_trace(scene: Scene, meta: SceneMeta, state: RayState, bounce: int
         hit_norm=jnp.where(keep, state.hit_norm, hit_norm),
         hit_tang=jnp.where(keep, state.hit_tang, hit_tang),
         hit_uv=jnp.where(keep, state.hit_uv, hit_uv),
-        hit_dist=jnp.where(keep[..., 0], state.hit_dist, hit.t),
-        hit_inst=jnp.where(keep[..., 0], state.hit_inst, hit.inst_id))
+        hit_dist=jnp.where(keep[..., 0], state.hit_dist, hit_t),
+        hit_inst=jnp.where(keep[..., 0], state.hit_inst, hit_inst_id))
 
 
 def kernel_sample_light_source(scene: Scene, meta: SceneMeta, state: RayState,
@@ -412,22 +453,30 @@ def kernel_sample_light_source(scene: Scene, meta: SceneMeta, state: RayState,
 
     in_illum = (LM.dot(shadow_dir, lsam['norm']) < 0.0) | lsam['is_omni'] | lsam['has_ies']
     need_trace = live & in_illum
-    motion = ((scene.tri_dv0, scene.tri_de1, scene.tri_de2, state.time)
-              if meta.has_motion else None)
-    if meta.use_bvh:
-        bvh = dict(bmin=scene.bvh_bmin, bmax=scene.bvh_bmax, skip=scene.bvh_skip,
-                   tri_offset=scene.bvh_tri_offset, tri_count=scene.bvh_tri_count)
-        occluded = ACC.any_hit_bvh(
-            bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_geom_id,
-            shadow_pos, shadow_dir,
+    if meta.use_two_level:
+        _, stri, _, _, _ = TL2.intersect_two_level(
+            scene.two_level, shadow_pos, shadow_dir,
             jnp.zeros((N,), jnp.float32),
-            jnp.where(need_trace, hit_dist * 0.9995, 0.0), motion=motion)
+            jnp.where(need_trace, hit_dist * 0.9995, 0.0),
+            time=state.time, any_hit=True)
+        occluded = stri >= 0
     else:
-        occluded = ACC.any_hit_brute(
-            scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_geom_id,
-            shadow_pos, shadow_dir,
-            jnp.zeros((N,), jnp.float32),
-            jnp.where(need_trace, hit_dist * 0.9995, 0.0), motion=motion)
+        motion = ((scene.tri_dv0, scene.tri_de1, scene.tri_de2, state.time)
+                  if meta.has_motion else None)
+        if meta.use_bvh:
+            bvh = dict(bmin=scene.bvh_bmin, bmax=scene.bvh_bmax, skip=scene.bvh_skip,
+                       tri_offset=scene.bvh_tri_offset, tri_count=scene.bvh_tri_count)
+            occluded = ACC.any_hit_bvh(
+                bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_geom_id,
+                shadow_pos, shadow_dir,
+                jnp.zeros((N,), jnp.float32),
+                jnp.where(need_trace, hit_dist * 0.9995, 0.0), motion=motion)
+        else:
+            occluded = ACC.any_hit_brute(
+                scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_geom_id,
+                shadow_pos, shadow_dir,
+                jnp.zeros((N,), jnp.float32),
+                jnp.where(need_trace, hit_dist * 0.9995, 0.0), motion=motion)
     need_shade = need_trace & ~occluded
 
     mat_id = _extract_mat_id(state.flags)

@@ -560,6 +560,9 @@ class SceneMeta:
     has_four_textures: bool = False
     num_tris: int = 0
     use_bvh: bool = False
+    # two-level BLAS/TLAS accel (CrossRT semantics): matrix-lerped motion,
+    # O(mesh) memory under instancing; else the flattened world-space soup
+    use_two_level: bool = False
     cam_lens_radius: float = 0.0
     cam_target_dist: float = 10.0
     exposure_mult: float = 1.0
@@ -697,6 +700,9 @@ class Scene:
     light_packed_f32: jnp.ndarray # [L, 96]
     light_packed_i32: jnp.ndarray # [L, 16]
 
+    # two-level accel (accel/two_level.TwoLevel) or None when using the soup
+    two_level: object = None
+
     # static: True when every packed int fits f32's 24-bit mantissa, so int
     # rows may ride the one-hot MXU gather exactly (ops/gather.py)
     ints_exact: bool = dataclasses.field(
@@ -704,6 +710,7 @@ class Scene:
 
 
 def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False,
+               accel: str = 'auto',
                width: Optional[int] = None, height: Optional[int] = None,
                look_at_override=None, cam_id: int = 0
                ) -> tuple[Scene, SceneMeta]:
@@ -1135,6 +1142,29 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         tri_mat_l.append(mids.astype(np.int32))
 
     # ---- acceleration structure (CommitScene analog) ----------------------
+    # two-level BLAS/TLAS (CrossRT.h:45-176) when motion needs exact
+    # matrix-lerp or instancing would blow up the flattened soup
+    soup_T = sum(len(v) for v in tri_v0)
+    unique_T = tri_off
+    use_two_level = (accel == 'two_level'
+                     or (accel == 'auto'
+                         and (has_motion
+                              or (soup_T > 200_000 and soup_T > 2 * unique_T))))
+    two_level_obj = None
+    if use_two_level:
+        from ..accel import two_level as TL2
+        mesh_tris = []
+        for mesh in meshes:
+            idx = mesh.indices.reshape(-1, 3).astype(np.int64)
+            p = mesh.v_pos[:, :3]
+            mv0 = p[idx[:, 0]]
+            mesh_tris.append((mv0, p[idx[:, 1]] - mv0, p[idx[:, 2]] - mv0))
+        inst_descs = [dict(geom_id=i.geom_id, m0=i.matrix,
+                           m1=(i.matrix_motion if i.has_motion else None))
+                      for i in instances]
+        tl_np = build_two_level_checked = TL2.build_two_level(mesh_tris, inst_descs)
+        two_level_obj = jax.tree_util.tree_map(jnp.asarray, tl_np)
+
     from ..accel import build_bvh
     soup_v0 = np.concatenate(tri_v0) if tri_v0 else np.zeros((0, 3), np.float32)
     soup_e1 = np.concatenate(tri_e1) if tri_e1 else np.zeros((0, 3), np.float32)
@@ -1154,6 +1184,16 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         soup_dv0 = np.zeros((0, 3), np.float32)
         soup_de1 = np.zeros((0, 3), np.float32)
         soup_de2 = np.zeros((0, 3), np.float32)
+        soup_shade_d = np.zeros((0, 24), np.float32)
+    if use_two_level and soup_T > 1_000_000:
+        # instanced giant scene: drop the soup entirely (the Whitted/gbuffer
+        # soup path would need two-level wiring to run such scenes)
+        z3 = np.zeros((1, 3), np.float32)
+        soup_v0, soup_e1, soup_e2 = z3, z3, z3
+        soup_inst = soup_geom = soup_prim = np.zeros(1, np.int32)
+        soup_shade = np.zeros((1, 24), np.float32)
+        soup_mat = np.zeros(1, np.int32)
+        soup_dv0 = soup_de1 = soup_de2 = np.zeros((0, 3), np.float32)
         soup_shade_d = np.zeros((0, 24), np.float32)
     if len(soup_v0) > 0:
         motion_end = ((soup_v0 + soup_dv0, soup_e1 + soup_de1,
@@ -1344,6 +1384,7 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         mat_packed_i32=jnp.asarray(mat_pi),
         light_packed_f32=jnp.asarray(lgt_pf),
         light_packed_i32=jnp.asarray(lgt_pi),
+        two_level=two_level_obj,
         ints_exact=bool(np.abs(np.asarray(mat_pi, np.int64)).max(initial=0) < 2**24
                         and np.abs(np.asarray(lgt_pi, np.int64)).max(initial=0) < 2**24),
     )
@@ -1355,6 +1396,7 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         has_env_map=env['tex_id'] >= 0, env_enable_sam=env['enable_sam'],
         has_cam_back=env['cam_back_id'] >= 0,
         has_spd_tex=has_spd_tex, spd_tex_max_sz=spd_tex_max_sz,
+        use_two_level=use_two_level,
         cam_response_type=cam_response_type,
         has_cam_response_spectra=any(i >= 0 for i in cam_response_ids),
         has_blend=MAT_TYPE_BLEND in mat_types_present,
