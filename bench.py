@@ -37,11 +37,25 @@ def main():
     samples = width * height * spp
     msamples_s = samples / dt / 1e6
 
+    # direct ray-count instrumentation (BASELINE.md:20): rays actually
+    # traced per camera sample (nearest + NEE shadow), counted on-device
+    import jax, jax.numpy as jnp
+    from hydracore3_tpu.models import integrator_pt as IPT
+    from hydracore3_tpu.ops import rng as RNG
+    n_px = min(1 << 16, width * height)
+    pix = jnp.arange(n_px, dtype=jnp.int32)
+    cnt = jax.jit(lambda r: IPT.count_rays_pass(scene, meta, r, pix))(
+        RNG.gen_init(pix))
+    rays_per_sample = float(cnt[0] + cnt[1]) / n_px
+    mrays_s = msamples_s * rays_per_sample
+
     print(json.dumps({
         'metric': 'mis_pt_cornell_throughput',
         'value': round(msamples_s, 2),
         'unit': 'Msamples/s',
         'vs_baseline': round(msamples_s / BASELINE_MSAMPLES, 4),
+        'mrays_per_s': round(mrays_s, 2),
+        'rays_per_sample': round(rays_per_sample, 3),
     }))
 
 

@@ -49,10 +49,15 @@ def put_diff_tex(scene: Scene, slot: int) -> DiffTexSetup:
 
 
 def scene_with_params(scene: Scene, setup: DiffTexSetup, params):
-    """Scatter the trainable texels [H*W, 4] into the pool (differentiable)."""
+    """Scatter the trainable texels [H*W, 4] into the pool (differentiable).
+
+    Disables the quad-packed fast path: quads are a build-time cache of the
+    texel array (Tex2DFetchAD analog, integrator_dr.cpp:95-161 — the
+    differentiable fetch reads raw params, the engine sampler otherwise)."""
     texels = scene.textures.texels.at[
         setup.texel_offset:setup.texel_offset + setup.size].set(params)
-    textures = dataclasses.replace(scene.textures, texels=texels)
+    textures = dataclasses.replace(scene.textures, texels=texels,
+                                   quad_texels=None)
     return dataclasses.replace(scene, textures=textures)
 
 

@@ -705,6 +705,40 @@ def init_state_from_input_rays(meta: SceneMeta, rng_state, ray_pos, ray_dir,
         hit_inst=jnp.zeros((N,), jnp.int32))
 
 
+def count_rays_pass(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
+                    integrator_type: int = INTEGRATOR_MIS_PT):
+    """Direct ray-count instrumentation (BASELINE.md:20 requires Mrays/s
+    measured, not derived): one trace pass accumulating the number of
+    nearest-hit rays actually traced (live lanes per bounce) and NEE
+    shadow rays (live lanes entering kernel_SampleLightSource).  Returns
+    (n_nearest, n_shadow) scalars for a single sample per pixel."""
+    state, _ = kernel_init_eye_ray(scene, meta, rng_state, pixel_ids, None)
+    depth = meta.trace_depth + (1 if integrator_type == INTEGRATOR_STUPID_PT else 0)
+    n_near = jnp.int64(0) if False else jnp.float32(0)
+    n_shadow = jnp.float32(0)
+    for b in range(depth):
+        live = ~_is_dead(state.flags)
+        n_near = n_near + jnp.sum(live.astype(jnp.float32))
+        state = kernel_ray_trace(scene, meta, state, bounce=b)
+        sctx = None
+        if not meta.has_blend:
+            sctx = MAT.make_shading_ctx(
+                scene, meta, _extract_mat_id(state.flags),
+                state.hit_norm, state.hit_tang, state.hit_uv)
+        if integrator_type != INTEGRATOR_STUPID_PT:
+            n_shadow = n_shadow + jnp.sum((~_is_dead(state.flags)).astype(jnp.float32))
+            shade, rng2 = kernel_sample_light_source(
+                scene, meta, state, b, integrator_type, FB_COLOR, None,
+                shading_ctx=sctx)
+            state = state._replace(rng=rng2)
+        else:
+            shade = jnp.zeros_like(state.accum_color)
+        state = kernel_next_bounce(scene, meta, state, b, shade,
+                                   integrator_type, FB_COLOR, None,
+                                   shading_ctx=sctx)
+    return n_near, n_shadow
+
+
 def trace_pass(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
                integrator_type: int = INTEGRATOR_MIS_PT,
                render_layer: int = FB_COLOR, qmc_ctx=None, input_state=None):

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 DATA_AXIS = 'data'
 
@@ -41,9 +41,95 @@ def sharded_render_tile(mesh: Mesh, scene, meta, integrator_type: int = 2,
     fn = shard_map(
         tile_fn, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-        check_rep=False)
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)), check_vma=False)
     return jax.jit(fn)
+
+
+def init_distributed() -> Mesh:
+    """Multi-host entry (SURVEY §2.5 'Distributed comm backend').
+
+    When launched under a multi-process runtime (JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID set, or a TPU pod environment), calls
+    ``jax.distributed.initialize`` so jax.devices() spans every host's
+    chips; otherwise it is a no-op.  Returns the global 1-D 'data' mesh.
+    Collectives then ride ICI intra-slice / DCN across slices — the
+    framework's only cross-chip traffic is psum'd parameter grads and the
+    image gather at save time (render_sharded keeps radiance local).
+    """
+    import os
+    coord = os.environ.get('JAX_COORDINATOR_ADDRESS')
+    nproc = os.environ.get('JAX_NUM_PROCESSES')
+    if coord and nproc:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(os.environ.get('JAX_PROCESS_ID', '0')))
+    elif os.environ.get('TPU_WORKER_HOSTNAMES'):
+        jax.distributed.initialize()
+    return make_mesh()
+
+
+def render_sharded(mesh: Mesh, scene, meta, spp: int, integrator: str = 'mispt',
+                   channels: int = 4):
+    """Render a full frame sharded over the mesh; each device owns a
+    contiguous pixel stripe (per-host tile writes, one device_get at save).
+
+    Pixels are padded to a multiple of the device count; the per-pixel RNG
+    is keyed by pixel id so the image is bitwise IDENTICAL for any device
+    count (P7 in SURVEY §2.5 — resharding-invariant determinism).
+    """
+    from .. import render as R
+    from ..ops import rng as RNG
+
+    n_dev = mesh.devices.size
+    W, H = meta.width, meta.height
+    N = W * H
+    pad = (-N) % n_dev
+    pixel_ids = jnp.arange(N + pad, dtype=jnp.int32)
+    rng0 = RNG.gen_init(pixel_ids)
+
+    itype = R.INTEGRATOR_BY_NAME[integrator]
+    fn = sharded_render_tile(mesh, scene, meta, itype, 0, channels,
+                             n_iters=int(spp))
+    fb, _ = fn(scene, rng0, pixel_ids)
+    img = np.asarray(fb)[:N] / float(spp)
+    return img.reshape(H, W, channels)
+
+
+def scaling_report(scene, meta, spp: int = 4,
+                   device_counts=None, verbose: bool = True):
+    """Rays/s scaling-efficiency harness (BASELINE: >= 80% at N hosts).
+
+    Renders the same per-device workload on 1..n devices (weak scaling) and
+    reports throughput and efficiency vs the 1-device baseline.  On real
+    multi-chip hardware this measures ICI/DCN overhead; on a virtual CPU
+    mesh the devices share host cores, so only the partitioning/collective
+    correctness is meaningful there (tests assert bitwise-identical images
+    instead).
+    """
+    import time as _time
+    all_dev = jax.devices()
+    if device_counts is None:
+        device_counts = [n for n in (1, 2, 4, 8, 16, 32)
+                         if n <= len(all_dev)]
+    rows = []
+    base = None
+    for n in device_counts:
+        mesh = make_mesh(all_dev[:n])
+        img = render_sharded(mesh, scene, meta, spp)  # compile+warm
+        t0 = _time.time()
+        img = render_sharded(mesh, scene, meta, spp)
+        dt = _time.time() - t0
+        samples = meta.width * meta.height * spp
+        thr = samples / dt / 1e6
+        if base is None:
+            base = thr
+        eff = thr / (base * n)
+        rows.append(dict(devices=n, msamples_s=thr, efficiency=eff))
+        if verbose:
+            print(f'[scaling]: devices={n:3d} {thr:10.2f} Msamples/s '
+                  f'efficiency={eff:6.1%}', flush=True)
+    return rows
 
 
 def sharded_train_step(mesh: Mesh, scene, meta, loss_fn):
@@ -63,6 +149,5 @@ def sharded_train_step(mesh: Mesh, scene, meta, loss_fn):
     fn = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=(P(), P()),
-        check_rep=False)
+        out_specs=(P(), P()), check_vma=False)
     return jax.jit(fn)
