@@ -56,6 +56,8 @@ class TwoLevel:
     # instances
     inst_m0: jnp.ndarray        # [I,16] row-major world matrix at t=0
     inst_m1: jnp.ndarray        # [I,16] at t=1 (== m0 when static)
+    inst_nm0: jnp.ndarray       # [I,16] inverse-transpose (normal matrix) t=0
+    inst_nm1: jnp.ndarray       # [I,16] t=1
     inst_geom: jnp.ndarray      # [I]
     inst_has_motion: jnp.ndarray  # [I] i32
 
@@ -65,8 +67,8 @@ jax.tree_util.register_dataclass(
     data_fields=['blas_bmin', 'blas_bmax', 'blas_skip', 'blas_tri_offset',
                  'blas_tri_count', 'blas_node_base', 'obj_v0', 'obj_e1',
                  'obj_e2', 'obj_prim_id', 'tlas_bmin', 'tlas_bmax',
-                 'tlas_skip', 'tlas_inst', 'inst_m0', 'inst_m1', 'inst_geom',
-                 'inst_has_motion'],
+                 'tlas_skip', 'tlas_inst', 'inst_m0', 'inst_m1',
+                 'inst_nm0', 'inst_nm1', 'inst_geom', 'inst_has_motion'],
     meta_fields=[])
 
 
@@ -109,6 +111,7 @@ def build_two_level(mesh_tris: list, instances: list, max_leaf: int = 4):
     # instance world bounds over both endpoints (8 corners per endpoint)
     inst_bmin, inst_bmax = [], []
     inst_m0, inst_m1, inst_geom, inst_motion = [], [], [], []
+    inst_nm0, inst_nm1 = [], []
     for inst in instances:
         g = inst['geom_id']
         m0 = np.asarray(inst['m0'], np.float32)
@@ -125,6 +128,8 @@ def build_two_level(mesh_tris: list, instances: list, max_leaf: int = 4):
         inst_bmax.append(allw.max(0))
         inst_m0.append(m0.reshape(16))
         inst_m1.append(m1.reshape(16))
+        inst_nm0.append(np.linalg.inv(m0).T.astype(np.float32).reshape(16))
+        inst_nm1.append(np.linalg.inv(m1).T.astype(np.float32).reshape(16))
         inst_geom.append(g)
         inst_motion.append(1 if inst.get('m1') is not None else 0)
 
@@ -151,6 +156,8 @@ def build_two_level(mesh_tris: list, instances: list, max_leaf: int = 4):
         tlas_inst=tlas_inst,
         inst_m0=np.array(inst_m0, np.float32),
         inst_m1=np.array(inst_m1, np.float32),
+        inst_nm0=np.array(inst_nm0, np.float32),
+        inst_nm1=np.array(inst_nm1, np.float32),
         inst_geom=np.array(inst_geom, np.int32),
         inst_has_motion=np.array(inst_motion, np.int32))
 

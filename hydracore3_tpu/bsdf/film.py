@@ -194,6 +194,97 @@ def mult_fr_film(cos_theta_i, iors, thicknesses, lam, xp=np, reverse=False):
     return refl, refr
 
 
+def transfer_matrix_fr(cos_theta_i, iors, thicknesses, lam, xp=np,
+                       reverse=False):
+    """N-layer film via 2x2 complex transfer matrices per polarization
+    (TransferMatrixForward/Backward, transfer_matrix.h:46-199).
+
+    Same signature/convention as ``mult_fr_film`` (iors: layers+1 entries,
+    external medium first; thicknesses: layers-1). The reference factors
+    the per-interface 1/t out of the matrix into a running ``coeff`` and
+    normalizes the propagation matrix by max(|phi|, 1/|phi|) to avoid
+    overflow for absorbing layers; reproduced exactly.  Returns (R, T).
+    """
+    layers = len(iors) - 1
+    cdt = np.complex128 if xp is np else xp.complex64
+    cos_theta_i = xp.asarray(cos_theta_i)
+
+    if reverse:
+        iors = list(reversed(iors))
+        thicknesses = list(reversed(thicknesses))
+    iors = [xp.asarray(e, dtype=cdt) for e in iors]
+
+    sin2_i = (1.0 - cos_theta_i * cos_theta_i).astype(cdt)
+    head2 = iors[0].real * iors[0].real
+
+    def prop_split(phase_exp):
+        """(P00, P11, prop_coeff) of the normalized propagation matrix."""
+        n = _cnorm(phase_exp)
+        one = xp.asarray(1.0 + 0.0j, cdt)
+        p00 = xp.where(n > 1.0, one / (phase_exp * phase_exp), one)
+        p11 = xp.where(n > 1.0, one, phase_exp * phase_exp)
+        big = xp.asarray(1e6 + 0.0j, cdt)
+        coeff = xp.where(n > 1.0, xp.where(n > 1e6, big, phase_exp),
+                         xp.where(n < 1e-6, big, one / phase_exp))
+        return p00, p11, coeff
+
+    def run(pol):
+        sin2_f = sin2_i * head2 / (iors[1] * iors[1])
+        cos_f = xp.sqrt((1.0 - sin2_f).astype(cdt))
+        ci = cos_theta_i.astype(cdt)
+        r = fr_complex_refl(ci, cos_f, iors[0], iors[1], pol, xp)
+        t = fr_complex_refr(ci, cos_f, iors[0], iors[1], pol, xp)
+        # M = D(r); coeff accumulates the interface transmittances
+        m00, m01, m10, m11 = (xp.ones_like(r), r, r, xp.ones_like(r))
+        coeff = t
+
+        phase = film_phase_diff(cos_f, iors[1], thicknesses[0], lam) / 2.0
+        pe = xp.exp(-phase.imag) * (xp.cos(phase.real) + 1j * xp.sin(phase.real))
+        p00, p11, pc = prop_split(pe)
+        m00, m01, m10, m11 = m00 * p00, m01 * p11, m10 * p00, m11 * p11
+        coeff = coeff / pc
+
+        cos_prev = cos_f
+        for i in range(1, layers):
+            sin2_t = sin2_i * head2 / (iors[i + 1] * iors[i + 1])
+            cos_t = xp.sqrt((1.0 - sin2_t).astype(cdt))
+            r = fr_complex_refl(cos_prev, cos_t, iors[i], iors[i + 1], pol, xp)
+            t = fr_complex_refr(cos_prev, cos_t, iors[i], iors[i + 1], pol, xp)
+            # M = M * D(r)
+            n00 = m00 + m01 * r
+            n01 = m00 * r + m01
+            n10 = m10 + m11 * r
+            n11 = m10 * r + m11
+            m00, m01, m10, m11 = n00, n01, n10, n11
+            coeff = coeff * t
+            if i < layers - 1:
+                phase = film_phase_diff(cos_t, iors[i + 1],
+                                        thicknesses[i], lam) / 2.0
+                pe = (xp.exp(-phase.imag)
+                      * (xp.cos(phase.real) + 1j * xp.sin(phase.real)))
+                p00, p11, pc = prop_split(pe)
+                m00, m01, m10, m11 = m00 * p00, m01 * p11, m10 * p00, m11 * p11
+                coeff = coeff / pc
+            cos_prev = cos_t
+        R = _cnorm(m10 / m00)
+        T = _cnorm(coeff / m00)
+        return R, T, cos_prev
+
+    r_p, t_p, cos_last = run(POL_P)
+    r_s, t_s, _ = run(POL_S)
+    refl = (r_p + r_s) / 2.0
+    # per-polarization factors (cmaterial.h:977-993): S uses Re(n·cos),
+    # P uses Re(n·conj(cos))
+    ci = cos_theta_i.astype(cdt)
+    bad = _cnorm(ci) <= 1e-6
+    n0, nl = iors[0], iors[layers]
+    fac_s = xp.where(bad, 0.0, (nl * cos_last).real / (n0 * ci).real)
+    fac_p = xp.where(bad, 0.0, (nl * xp.conj(cos_last)).real
+                     / (n0 * xp.conj(ci)).real)
+    refr = (t_p * fac_p + t_s * fac_s) / 2.0
+    return refl, refr
+
+
 # ---------------------------------------------------------------------------
 # Trace-time table fetch (cmat_film.h bilinear lookups)
 # ---------------------------------------------------------------------------

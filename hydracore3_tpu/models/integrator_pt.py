@@ -333,14 +333,20 @@ def kernel_ray_trace(scene: Scene, meta: SceneMeta, state: RayState, bounce: int
         data = (wa * gather_rows(scene.vdata, ia)
                 + wb * gather_rows(scene.vdata, ib)
                 + wc * gather_rows(scene.vdata, ic))
-        # normal matrix: inverse-transpose of the time-lerped instance
-        # matrix (exact motion normals, integrator_pt.cpp:285-292)
-        m0 = gather_rows(tlv.inst_m0, safe_inst)
-        m1 = gather_rows(tlv.inst_m1, safe_inst)
-        m = (m0 + time[..., None] * (m1 - m0)).reshape(-1, 4, 4)
-        nm3 = jnp.transpose(jnp.linalg.inv(m), (0, 2, 1))[:, :3, :3]
-        hit_norm = jnp.einsum('nij,nj->ni', nm3, data[..., 0:3])
-        hit_tang = jnp.einsum('nij,nj->ni', nm3, data[..., 4:7])
+        # motion normals: transform by BOTH endpoint normal matrices and
+        # lerp the results — the reference's exact recipe
+        # (integrator_pt.cpp:285-292 lerps hitNorm/hitNorm2 by time)
+        nm0 = gather_rows(tlv.inst_nm0, safe_inst).reshape(-1, 4, 4)[:, :3, :3]
+        n0 = jnp.einsum('nij,nj->ni', nm0, data[..., 0:3])
+        t0g = jnp.einsum('nij,nj->ni', nm0, data[..., 4:7])
+        if meta.has_motion:
+            nm1 = gather_rows(tlv.inst_nm1, safe_inst).reshape(-1, 4, 4)[:, :3, :3]
+            n1 = jnp.einsum('nij,nj->ni', nm1, data[..., 0:3])
+            t1g = jnp.einsum('nij,nj->ni', nm1, data[..., 4:7])
+            hit_norm = n0 + time[..., None] * (n1 - n0)
+            hit_tang = t0g + time[..., None] * (t1g - t0g)
+        else:
+            hit_norm, hit_tang = n0, t0g
         hit_uv = jnp.stack([data[..., 3], data[..., 7]], -1)
         mid0 = gather_1d(scene.mat_id_by_prim, tri_off)
         mid = _remap_material_id(scene, mid0, inst_id)

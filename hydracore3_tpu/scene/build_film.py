@@ -67,6 +67,10 @@ def _rt_grid(iors, thicknesses, lams, cos_thetas):
         bwd = F.fr_film(cos_g, iors_g[2], iors_g[1], iors_g[0],
                         thicknesses[0], lam_g, xp=np)
     else:
+        # recursive Airy is the reference's ACTIVE multilayer route
+        # (multFrFilm, integrator_pt_scene_mat.cpp:853-856 — the transfer-
+        # matrix calls there are commented out); transfer_matrix_fr is
+        # implemented and cross-checked to 1e-4 in tests/test_film.py
         fwd = F.mult_fr_film(cos_g, iors_g, list(thicknesses), lam_g, xp=np)
         bwd = F.mult_fr_film(cos_g, iors_g, list(thicknesses), lam_g, xp=np,
                              reverse=True)

@@ -41,17 +41,38 @@ def timeit(f, *args, n=5):
     return (time.time() - t0) / n
 
 
+def make_rays(rng, N, spread, kind):
+    if kind == 'camera':
+        # coherent primary rays: one origin, directions through a pixel grid
+        side = int(np.sqrt(N))
+        ys, xs = np.mgrid[0:side, 0:side].astype(np.float32) / side - 0.5
+        d = np.stack([xs.ravel(), ys.ravel(),
+                      np.full(side * side, 1.0, np.float32)], -1)
+        d = np.concatenate([d, d[: N - len(d)]]) if len(d) < N else d[:N]
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        pos = np.tile(np.array([0, 0, -2.2 * spread], np.float32), (N, 1))
+        return pos, d
+    # 'bounce': coherent origins (surface patches), random directions —
+    # the diffuse-bounce workload
+    n_patch = N // 1024
+    centers = rng.uniform(-spread, spread, (n_patch, 3)).astype(np.float32)
+    pos = np.repeat(centers, 1024, axis=0)[:N]
+    pos += rng.normal(0, 0.3, (N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return pos.astype(np.float32), d.astype(np.float32)
+
+
 def main():
     sizes = [int(x) for x in sys.argv[1:]] or [2_000, 50_000, 250_000]
     rng = np.random.default_rng(0)
     N = 1 << 20  # 1M rays
 
     for T in sizes:
-        spread = 8.0 * (T / 2000.0) ** (1 / 3)
-        v0, e1, e2 = scene(rng, T, spread)
-        pos = rng.uniform(-spread, spread, (N, 3)).astype(np.float32)
-        d = rng.normal(size=(N, 3)).astype(np.float32)
-        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+      spread = 8.0 * (T / 2000.0) ** (1 / 3)
+      v0, e1, e2 = scene(rng, T, spread)
+      for kind in ('camera', 'bounce'):
+        pos, d = make_rays(rng, N, spread, kind)
         pos_j, d_j = jnp.asarray(pos), jnp.asarray(d)
         tmin = jnp.zeros((N,))
         tmax = jnp.full((N,), 1e30)
@@ -67,32 +88,12 @@ def main():
             return TP.intersect_clusters(nf, ni, t12, p, dd, tmin, tmax)
 
         dt = timeit(pallas_hit, pos_j, d_j)
-        print(f'T={T:7d} pallas-cluster: {dt*1e3:8.2f} ms '
-              f'-> {N/dt/1e6:8.1f} Mrays/s', flush=True)
-
-        # XLA while-loop BVH (max_leaf=4)
-        fb = build_bvh.build(v0, e1, e2, max_leaf=4)
-        o2 = fb.order
-        bvh = dict(bmin=jnp.asarray(fb.bmin), bmax=jnp.asarray(fb.bmax),
-                   skip=jnp.asarray(fb.skip),
-                   tri_offset=jnp.asarray(fb.tri_offset),
-                   tri_count=jnp.asarray(fb.tri_count))
-        w_v0, w_e1, w_e2 = (jnp.asarray(v0[o2]), jnp.asarray(e1[o2]),
-                            jnp.asarray(e2[o2]))
-        zi = jnp.zeros(T, jnp.int32)
-
-        @jax.jit
-        def xla_bvh(p, dd):
-            h = TRV.intersect_bvh(bvh, w_v0, w_e1, w_e2, zi, zi, zi,
-                                  p, dd, tmin, tmax)
-            return h.t
-
-        dt = timeit(xla_bvh, pos_j, d_j, n=2)
-        print(f'T={T:7d} xla-while-bvh : {dt*1e3:8.2f} ms '
+        print(f'T={T:7d} {kind:6s} pallas-cluster: {dt*1e3:8.2f} ms '
               f'-> {N/dt/1e6:8.1f} Mrays/s', flush=True)
 
         # brute force (small scenes only)
         if T <= 50_000:
+            zi = jnp.zeros(T, jnp.int32)
             bv0, be1, be2 = jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2)
 
             @jax.jit
@@ -102,7 +103,7 @@ def main():
                 return h.t
 
             dt = timeit(brute, pos_j, d_j, n=2)
-            print(f'T={T:7d} brute         : {dt*1e3:8.2f} ms '
+            print(f'T={T:7d} {kind:6s} brute         : {dt*1e3:8.2f} ms '
                   f'-> {N/dt/1e6:8.1f} Mrays/s', flush=True)
 
 

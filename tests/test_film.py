@@ -154,3 +154,67 @@ def test_film_render_spectral():
         img = np.asarray(R.render(scene, meta, spp=4, integrator='mispt'))
         assert np.isfinite(img).all()
         assert img[..., :3].mean() > 0.001
+
+
+def test_transfer_matrix_vs_recursive_airy():
+    """TransferMatrixForward (transfer_matrix.h:46-199) must agree with the
+    recursive Airy combination (airy_reflectance.h:102-209) — both compute
+    the exact multilayer R/T; sign/phase bugs show up immediately."""
+    import numpy as np
+    from hydracore3_tpu.bsdf import film as F
+
+    rng = np.random.default_rng(1)
+    cos_i = np.linspace(0.05, 1.0, 40)
+    for lam in (400.0, 550.0, 700.0):
+        # 2-layer dielectric stack: air | 1.38 | 2.35 | glass
+        iors = [np.full_like(cos_i, 1.0, np.complex128),
+                np.full_like(cos_i, 1.38, np.complex128),
+                np.full_like(cos_i, 2.35, np.complex128),
+                np.full_like(cos_i, 1.52, np.complex128)]
+        th = [100.0, 120.0]
+        r1, t1 = F.mult_fr_film(cos_i, iors, th, lam, xp=np)
+        r2, t2 = F.transfer_matrix_fr(cos_i, iors, th, lam, xp=np)
+        np.testing.assert_allclose(r1, r2, atol=1e-4)
+        np.testing.assert_allclose(t1, t2, atol=1e-4)
+
+        # absorbing metal film on glass: air | Au-ish | glass
+        iors_m = [np.full_like(cos_i, 1.0, np.complex128),
+                  np.full_like(cos_i, 0.4 + 2.5j, np.complex128),
+                  np.full_like(cos_i, 1.52, np.complex128)]
+        r1, t1 = F.mult_fr_film(cos_i, iors_m, [40.0], lam, xp=np)
+        r2, t2 = F.transfer_matrix_fr(cos_i, iors_m, [40.0], lam, xp=np)
+        np.testing.assert_allclose(r1, r2, atol=1e-4)
+        np.testing.assert_allclose(t1, t2, atol=1e-4)
+
+        # 8-layer alternating stack (the reference test-suite case)
+        iors8 = [np.full_like(cos_i, 1.0, np.complex128)]
+        for i in range(8):
+            iors8.append(np.full_like(cos_i, 1.38 if i % 2 == 0 else 2.35,
+                                      np.complex128))
+        iors8.append(np.full_like(cos_i, 1.52, np.complex128))
+        th8 = [90.0 + 10.0 * i for i in range(8)]
+        r1, t1 = F.mult_fr_film(cos_i, iors8, th8, lam, xp=np)
+        r2, t2 = F.transfer_matrix_fr(cos_i, iors8, th8, lam, xp=np)
+        np.testing.assert_allclose(r1, r2, atol=1e-4)
+        np.testing.assert_allclose(t1, t2, atol=1e-4)
+
+        # reverse direction (glass side entry)
+        r1, t1 = F.mult_fr_film(cos_i, iors8, th8, lam, xp=np, reverse=True)
+        r2, t2 = F.transfer_matrix_fr(cos_i, iors8, th8, lam, xp=np,
+                                      reverse=True)
+        np.testing.assert_allclose(r1, r2, atol=1e-4)
+        np.testing.assert_allclose(t1, t2, atol=1e-4)
+
+
+def test_transfer_matrix_single_layer_vs_fr_film():
+    import numpy as np
+    from hydracore3_tpu.bsdf import film as F
+    cos_i = np.linspace(0.05, 1.0, 64)
+    eta_i = np.full_like(cos_i, 1.0, np.complex128)
+    eta_f = np.full_like(cos_i, 1.45, np.complex128)
+    eta_t = np.full_like(cos_i, 1.52, np.complex128)
+    r1, t1 = F.fr_film(cos_i, eta_i, eta_f, eta_t, 250.0, 550.0, xp=np)
+    r2, t2 = F.transfer_matrix_fr(cos_i, [eta_i, eta_f, eta_t], [250.0],
+                                  550.0, xp=np)
+    np.testing.assert_allclose(r1, r2, atol=1e-4)
+    np.testing.assert_allclose(t1, t2, atol=1e-4)
