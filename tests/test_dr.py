@@ -78,3 +78,86 @@ def test_optimization_reduces_loss(dr_setup):
     assert losses[-1] < losses[0] * 0.97, losses
     assert all(b <= a for a, b in zip(losses, losses[1:])), losses
     assert np.isfinite(np.asarray(params)).all()
+
+
+def test_regularizers_match_definitions():
+    import numpy as np
+    import jax.numpy as jnp
+    from hydracore3_tpu.models import dr as DR
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=17).astype(np.float32)
+    expect = sum((d[i] - d[i-1])**2 + (d[i] - d[i+1])**2
+                 for i in range(1, 16)) / 17
+    np.testing.assert_allclose(float(DR.reg_loss_image_1d(jnp.asarray(d))),
+                               expect, rtol=1e-5)
+    img = rng.normal(size=(8, 8, 4)).astype(np.float32)
+    got = float(DR.reg_loss_image_2d4f(jnp.asarray(img.reshape(-1, 4)), 8, 8))
+    exp = 0.0
+    for y in range(1, 7):
+        for x in range(1, 7):
+            p0 = img[y, x, :3]
+            s = (((p0 - img[y+1, x, :3])**2).sum()
+                 + ((p0 - img[y-1, x, :3])**2).sum()
+                 + ((p0 - img[y, x-1, :3])**2).sum()
+                 + ((p0 - img[y, x+1, :3])**2).sum())
+            exp += np.sqrt(s + 1e-20)
+    np.testing.assert_allclose(got, exp, rtol=1e-4)
+    # differentiable
+    import jax
+    g = jax.grad(lambda p: DR.reg_loss_image_2d4f(p, 8, 8))(
+        jnp.asarray(img.reshape(-1, 4)))
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_material_param_grads(cornell_scene):
+    """Material-scalar registry: gradient of the loss w.r.t. a diffuse
+    color column is non-zero and matches finite differences."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hydracore3_tpu.models import dr as DR
+    from hydracore3_tpu.ops import rng as RNG
+    scene, meta = cornell_scene
+    setup = DR.DiffMatSetup(mat_ids=(0,), cols=(0, 1, 2))
+    n = meta.width * meta.height
+    pix = jnp.arange(n, dtype=jnp.int32)
+    rngs = RNG.gen_init(pix)
+    ref = jnp.zeros((n, 3), jnp.float32)
+    p0 = jnp.asarray(np.asarray(
+        scene.mat_packed_f32[jnp.asarray(setup.mat_ids)][:, :3]))
+    loss, grads, _ = DR.mat_loss_and_grad(p0, scene, meta, setup, rngs, pix, ref)
+    assert float(jnp.abs(grads).sum()) > 0
+    eps = 1e-3
+    dp = jnp.zeros_like(p0).at[0, 0].set(eps)
+    lp, _, _ = DR.mat_loss_and_grad(p0 + dp, scene, meta, setup, rngs, pix, ref)
+    lm, _, _ = DR.mat_loss_and_grad(p0 - dp, scene, meta, setup, rngs, pix, ref)
+    fd = (float(lp) - float(lm)) / (2 * eps)
+    np.testing.assert_allclose(float(grads[0, 0]), fd, rtol=0.05, atol=1e-3)
+
+
+def test_whitted_ad_grads(cornell_scene):
+    import numpy as np
+    import jax.numpy as jnp
+    from hydracore3_tpu.models import dr as DR
+    scene, meta = cornell_scene
+    setup = DR.put_diff_tex(scene, 1 if scene.textures.offset.shape[0] > 1 else 0)
+    n = meta.width * meta.height
+    pix = jnp.arange(n, dtype=jnp.int32)
+    ref = jnp.zeros((n, 3), jnp.float32)
+    params = scene.textures.texels[
+        setup.texel_offset:setup.texel_offset + setup.size]
+    loss, grads = DR.whitted_loss_and_grad(params, scene, meta, setup, pix, ref)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(grads)).all()
+    assert float(jnp.abs(grads).sum()) > 0
+
+
+def test_optimize_texture_scan_loss_decreases(dr_setup):
+    import numpy as np
+    from hydracore3_tpu.models import dr as DR
+    from hydracore3_tpu import render as R
+    scene, meta, setup = dr_setup
+    ref = R.render(scene, meta, spp=16, integrator='mispt')
+    params, losses = DR.optimize_texture_scan(
+        scene, meta, setup, ref, iters=6, spp=2, reg_weight=1e-4,
+        verbose=False)
+    assert losses[-1] < losses[0] * 0.97, losses
