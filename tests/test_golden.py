@@ -104,3 +104,58 @@ def test_motion_vs_reference():
     # endpoint-lerped-triangle approximation vs the reference's
     # matrix-lerped instances; the two-level accel path closes it
     assert p >= 30.0, f'{p:.2f} dB'
+
+
+def test_gbuffer_vs_reference():
+    """G-buffer layers vs the reference's SaveGBufferImages output
+    (imageutils_gbuffer.cpp:13-141): normals = abs(n), texcolor with gamma
+    2.4, depth min-max normalized. The 16 Hammersley sample offsets are
+    deterministic, so agreement is quantization-limited."""
+    import jax.numpy as jnp
+    from hydracore3_tpu.models import gbuffer as GB
+
+    g = load_golden('test_035_gbuffer')
+    scene, meta = cornell()
+    N = meta.width * meta.height
+    pix = jnp.arange(N, dtype=jnp.int32)
+    gb = GB.eval_gbuffer(scene, meta, pix)
+
+    W, H = meta.width, meta.height
+    # golden layers 2/3/4 are in raw gbuffer order; ours is display order
+    norm_img = np.abs(np.asarray(gb.norm)).reshape(H, W, 3)[::-1]
+    p = psnr(g['normals'].astype(np.float32)[..., :3], norm_img)
+    print(f'gbuffer normals: {p:.2f} dB')
+    assert p >= 40.0, f'normals {p:.2f}'
+
+    tex_img = np.clip(np.asarray(gb.rgba), 0, 1).reshape(H, W, 4)[::-1, :, :3]
+    tex_ldr = np.power(tex_img, 1.0 / 2.4)
+    p = psnr(g['texcolor'].astype(np.float32)[..., :3], tex_ldr)
+    print(f'gbuffer texcolor: {p:.2f} dB')
+    assert p >= 28.0, f'texcolor {p:.2f}'
+
+    d = np.asarray(gb.depth).reshape(H, W)[::-1]
+    dn = (d - d.min()) / max(d.max() - d.min(), 1e-9)
+    p = psnr(g['depth'].astype(np.float32)[..., :1],
+             dn[..., None].astype(np.float32))
+    print(f'gbuffer depth: {p:.2f} dB')
+    assert p >= 30.0, f'depth {p:.2f}'
+
+    # id layers: compare via palette equality fraction (the reference
+    # writes palette[id % 20]; identical ids => identical colors)
+    palette = g['matid'].astype(np.float32)
+    # palette layers are saved display-flipped (imageutils_gbuffer.cpp:95)
+    our_mat = np.asarray(gb.mat_id).reshape(H, W)[::-1]
+    # pixels with the same our-id must have the same golden color
+    same = 0
+    tot = 0
+    for mid in np.unique(our_mat):
+        sel = our_mat == mid
+        if sel.sum() < 10:
+            continue
+        cols = palette[sel].reshape(-1, palette.shape[-1])
+        mode = np.round(np.median(cols, 0), 3)
+        same += (np.abs(cols - mode).max(-1) < 0.05).sum()
+        tot += len(cols)
+    frac = same / max(tot, 1)
+    print(f'gbuffer matid consistency: {frac:.3f}')
+    assert frac > 0.98, frac
