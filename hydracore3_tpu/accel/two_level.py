@@ -163,8 +163,31 @@ def build_two_level(mesh_tris: list, instances: list, max_leaf: int = 4):
 
 
 def _inverse4x4(m):
-    """Batched-safe 4x4 inverse via cofactors; m is [..., 4, 4]."""
-    return jnp.linalg.inv(m)
+    """Closed-form 4x4 inverse (cofactor expansion) — pure arithmetic, safe
+    inside vmapped while_loops on TPU (jnp.linalg.inv lowers to LU with
+    dynamic pivoting, which miscompiles/faults there)."""
+    a = [[m[..., r, c] for c in range(4)] for r in range(4)]
+
+    def det3(r0, r1, r2, c0, c1, c2):
+        return (a[r0][c0] * (a[r1][c1] * a[r2][c2] - a[r1][c2] * a[r2][c1])
+                - a[r0][c1] * (a[r1][c0] * a[r2][c2] - a[r1][c2] * a[r2][c0])
+                + a[r0][c2] * (a[r1][c0] * a[r2][c1] - a[r1][c1] * a[r2][c0]))
+
+    rows = (1, 2, 3), (0, 2, 3), (0, 1, 3), (0, 1, 2)
+    cof = [[None] * 4 for _ in range(4)]
+    for r in range(4):
+        for c in range(4):
+            rr = rows[r]
+            cc = rows[c]
+            sign = 1.0 if (r + c) % 2 == 0 else -1.0
+            cof[r][c] = sign * det3(rr[0], rr[1], rr[2], cc[0], cc[1], cc[2])
+    det = (a[0][0] * cof[0][0] + a[0][1] * cof[0][1]
+           + a[0][2] * cof[0][2] + a[0][3] * cof[0][3])
+    inv_det = jnp.where(det != 0.0, 1.0 / det, 0.0)
+    # inverse = adjugate / det = transpose(cofactor) / det
+    out = jnp.stack([jnp.stack([cof[c][r] * inv_det for c in range(4)], -1)
+                     for r in range(4)], -2)
+    return out
 
 
 def _slab(pos, inv_dir, bmin, bmax, tmin, tmax):

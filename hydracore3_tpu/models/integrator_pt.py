@@ -355,7 +355,25 @@ def kernel_ray_trace(scene: Scene, meta: SceneMeta, state: RayState, bounce: int
     else:
         motion = ((scene.tri_dv0, scene.tri_de1, scene.tri_de2, state.time)
                   if meta.has_motion else None)
-        if meta.use_bvh:
+        if meta.use_pallas:
+            # Pallas cluster-BVH kernel (accel/traverse_pallas.py) — the
+            # big-static-scene path; interpret mode off-TPU
+            from ..accel import traverse_pallas as TPL
+            interp = jax.default_backend() != 'tpu'
+            pt, ptri, pu, pv = TPL.intersect_clusters(
+                scene.cl_nodes_f, scene.cl_nodes_i, scene.cl_tris12,
+                state.ray_pos, state.ray_dir, t_min, t_max,
+                interpret=interp)
+            pfound = ptri >= 0
+            safe = jnp.maximum(ptri, 0)
+            hit = ACC.Hit(
+                t=jnp.where(pfound, pt, ACC.FLT_MAX),
+                prim_id=jnp.where(pfound, scene.tri_prim_id[safe], -1),
+                inst_id=jnp.where(pfound, scene.tri_inst_id[safe], -1),
+                geom_id=jnp.where(pfound, scene.tri_geom_id[safe], -1),
+                u=pu, v=pv,
+                soup_id=jnp.where(pfound, ptri, -1))
+        elif meta.use_bvh:
             bvh = dict(bmin=scene.bvh_bmin, bmax=scene.bvh_bmax, skip=scene.bvh_skip,
                        tri_offset=scene.bvh_tri_offset, tri_count=scene.bvh_tri_count)
             hit = ACC.intersect_bvh(
@@ -465,6 +483,14 @@ def kernel_sample_light_source(scene: Scene, meta: SceneMeta, state: RayState,
             jnp.zeros((N,), jnp.float32),
             jnp.where(need_trace, hit_dist * 0.9995, 0.0),
             time=state.time, any_hit=True)
+        occluded = stri >= 0
+    elif meta.use_pallas:
+        from ..accel import traverse_pallas as TPL
+        _, stri, _, _ = TPL.intersect_clusters(
+            scene.cl_nodes_f, scene.cl_nodes_i, scene.cl_tris12,
+            shadow_pos, shadow_dir, jnp.zeros((N,), jnp.float32),
+            jnp.where(need_trace, hit_dist * 0.9995, 0.0),
+            any_hit=True, interpret=jax.default_backend() != 'tpu')
         occluded = stri >= 0
     else:
         motion = ((scene.tri_dv0, scene.tri_de1, scene.tri_de2, state.time)

@@ -563,6 +563,9 @@ class SceneMeta:
     # two-level BLAS/TLAS accel (CrossRT semantics): matrix-lerped motion,
     # O(mesh) memory under instancing; else the flattened world-space soup
     use_two_level: bool = False
+    # Pallas cluster-BVH traversal kernel for large static soups
+    # (accel/traverse_pallas.py); False -> brute / while-BVH
+    use_pallas: bool = False
     cam_lens_radius: float = 0.0
     cam_target_dist: float = 10.0
     exposure_mult: float = 1.0
@@ -702,6 +705,10 @@ class Scene:
 
     # two-level accel (accel/two_level.TwoLevel) or None when using the soup
     two_level: object = None
+    # Pallas cluster-BVH arrays (traverse_pallas.pack_cluster_bvh) or None
+    cl_nodes_f: jnp.ndarray = None
+    cl_nodes_i: jnp.ndarray = None
+    cl_tris12: jnp.ndarray = None
 
     # static: True when every packed int fits f32's 24-bit mantissa, so int
     # rows may ride the one-hot MXU gather exactly (ops/gather.py)
@@ -1195,7 +1202,23 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         soup_mat = np.zeros(1, np.int32)
         soup_dv0 = soup_de1 = soup_de2 = np.zeros((0, 3), np.float32)
         soup_shade_d = np.zeros((0, 24), np.float32)
-    if len(soup_v0) > 0:
+    # Pallas cluster kernel for big static soups (nodes+tris fit VMEM,
+    # no per-triangle motion; see docs/PERF_NOTES.md 'Traversal strategy')
+    from ..accel import traverse_pallas as TPL
+    use_pallas = (not has_motion and not use_two_level
+                  and 4096 <= len(soup_v0) <= TPL.VMEM_TRI_LIMIT)
+    cl_arrays = None
+    if use_pallas:
+        cbvh = build_bvh.build(soup_v0, soup_e1, soup_e2,
+                               max_leaf=TPL.CLUSTER)
+        order = cbvh.order
+        soup_v0, soup_e1, soup_e2 = soup_v0[order], soup_e1[order], soup_e2[order]
+        soup_inst, soup_geom, soup_prim = (soup_inst[order], soup_geom[order],
+                                           soup_prim[order])
+        soup_shade, soup_mat = soup_shade[order], soup_mat[order]
+        cl_arrays = TPL.pack_cluster_bvh(cbvh, soup_v0, soup_e1, soup_e2)
+
+    if len(soup_v0) > 0 and not use_pallas:
         motion_end = ((soup_v0 + soup_dv0, soup_e1 + soup_de1,
                        soup_e2 + soup_de2) if has_motion and len(soup_dv0)
                       else None)
@@ -1210,6 +1233,10 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
                                             soup_de2[order])
             soup_shade_d = soup_shade_d[order]
         bvh_arrays = (bvh.bmin, bvh.bmax, bvh.skip, bvh.tri_offset, bvh.tri_count)
+    elif use_pallas:
+        bvh_arrays = (np.zeros((1, 3), np.float32), np.zeros((1, 3), np.float32),
+                      np.full(1, -1, np.int32), np.zeros(1, np.int32),
+                      np.zeros(1, np.int32))
     else:
         bvh_arrays = (np.zeros((1, 3), np.float32), np.zeros((1, 3), np.float32),
                       np.full(1, -1, np.int32), np.zeros(1, np.int32),
@@ -1385,6 +1412,9 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         light_packed_f32=jnp.asarray(lgt_pf),
         light_packed_i32=jnp.asarray(lgt_pi),
         two_level=two_level_obj,
+        cl_nodes_f=None if cl_arrays is None else jnp.asarray(cl_arrays[0]),
+        cl_nodes_i=None if cl_arrays is None else jnp.asarray(cl_arrays[1]),
+        cl_tris12=None if cl_arrays is None else jnp.asarray(cl_arrays[2]),
         ints_exact=bool(np.abs(np.asarray(mat_pi, np.int64)).max(initial=0) < 2**24
                         and np.abs(np.asarray(lgt_pi, np.int64)).max(initial=0) < 2**24),
     )
@@ -1397,6 +1427,7 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         has_cam_back=env['cam_back_id'] >= 0,
         has_spd_tex=has_spd_tex, spd_tex_max_sz=spd_tex_max_sz,
         use_two_level=use_two_level,
+        use_pallas=use_pallas,
         cam_response_type=cam_response_type,
         has_cam_response_spectra=any(i >= 0 for i in cam_response_ids),
         has_blend=MAT_TYPE_BLEND in mat_types_present,
@@ -1408,7 +1439,7 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         has_bump=any(m_.texid[1] != INVALID_ID for m_ in materials),
         has_four_textures=any(m_.cflags & FLAG_FOUR_TEXTURES for m_ in materials),
         num_tris=int(len(soup_v0)),
-        use_bvh=len(soup_v0) > 512,
+        use_bvh=len(soup_v0) > 512 and not use_pallas,
         cam_lens_radius=lens_radius, cam_target_dist=cam_target_dist,
         exposure_mult=exposure,
         mat_types_present=tuple(sorted(mat_types_present)),
