@@ -46,6 +46,9 @@ def build_parser():
     p.add_argument('-checkpoint_every', type=int, default=8)
     p.add_argument('--resume', action='store_true',
                    help='resume an interrupted render from -checkpoint')
+    p.add_argument('-profile', default='',
+                   help='write a jax.profiler trace of the render to this '
+                        'directory (the GetExecutionTime analog at op level)')
     return p
 
 
@@ -180,13 +183,20 @@ def main(argv=None):
                                        progress=True, return_timing=True)
         else:
             ispp = spp * (args.spp_naive_mul if integ == 'naivept' else 1)
-            img, timing = R.render(scene, meta, spp=ispp, integrator=integ,
-                                   layer=layer,
-                                   channels=args.channels, tile_size=args.tile,
-                                   progress=True, return_timing=True,
-                                   checkpoint_path=args.checkpoint or None,
-                                   checkpoint_every=args.checkpoint_every,
-                                   resume=args.resume)
+            import contextlib
+            import jax as _jax
+            prof = (_jax.profiler.trace(args.profile) if args.profile
+                    else contextlib.nullcontext())
+            with prof:
+                img, timing = R.render(scene, meta, spp=ispp, integrator=integ,
+                                       layer=layer,
+                                       channels=args.channels, tile_size=args.tile,
+                                       progress=True, return_timing=True,
+                                       checkpoint_path=args.checkpoint or None,
+                                       checkpoint_every=args.checkpoint_every,
+                                       resume=args.resume)
+            if args.profile:
+                print(f'[main]: jax.profiler trace written to {args.profile}')
         ms = (timing['total_s'] - timing['compile_s']) * 1000.0
         # keep the reference's timing line format so run_bench-style regexes work
         tag = {'naivept': 'naivept', 'shadowpt': 'shadowpt',

@@ -110,6 +110,11 @@ def adam2_step(params, grads, state, it, lr=0.15, beta_1=0.9, beta_2=0.999,
     return params, (v, s)
 
 
+def gd_step(params, grads, state, it, lr=0.25):
+    """Plain gradient descent (diff_render/adam.h OptimizerGD)."""
+    return params - lr * grads, state
+
+
 def optimize_texture(scene: Scene, meta: SceneMeta, setup: DiffTexSetup,
                      ref_img: np.ndarray, iters: int = 50, spp: int = 4,
                      lr: float = 0.15, optimizer: str = 'adam2',
@@ -125,7 +130,8 @@ def optimize_texture(scene: Scene, meta: SceneMeta, setup: DiffTexSetup,
 
     params = jnp.full((setup.size, 4), init_value, jnp.float32)
     state = (jnp.zeros_like(params), jnp.zeros_like(params))
-    step_fn = adam2_step if optimizer == 'adam2' else adam_hydra_step
+    step_fn = {'adam2': adam2_step, 'adam': adam_hydra_step,
+               'gd': gd_step}[optimizer]
 
     losses = []
     for it in range(iters):
