@@ -126,6 +126,10 @@ def _kernel(nodes_f_ref, nodes_i_ref, tris_ref, rays_ref,
                 t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
                 ok = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (vv >= 0.0)
                       & (u + vv <= 1.0) & (t > tmin) & (t < bt))
+                if any_hit:
+                    # occlusion is boolean: collapse the lane's interval so
+                    # every later slab test culls it (t is not reported)
+                    t = tmin
                 return (jnp.where(ok, t, bt),
                         jnp.where(ok, toff + k, bi),
                         jnp.where(ok, u, bu),
@@ -139,8 +143,12 @@ def _kernel(nodes_f_ref, nodes_i_ref, tris_ref, rays_ref,
 
         descend = tile_hit & ~is_leaf
         if any_hit:
-            # stop the walk once every lane that can be occluded is
-            done = ~jnp.any((best_i < 0) & lane_hit) & do_leaf
+            # Early exit only when NO live lane (tmax > tmin marks lanes the
+            # caller actually wants traced) can still become occluded.  The
+            # liveness test must be lane-global, NOT this leaf's slab mask: a
+            # lane that misses this leaf's AABB but would hit a later leaf
+            # would otherwise be dropped as unoccluded (light leaks).
+            done = do_leaf & ~jnp.any((best_i < 0) & (tmax > tmin))
             nxt = jnp.where(done, jnp.int32(-1),
                             jnp.where(descend, node + 1, skip))
         else:

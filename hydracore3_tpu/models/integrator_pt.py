@@ -444,10 +444,12 @@ def kernel_ray_trace(scene: Scene, meta: SceneMeta, state: RayState, bounce: int
 
 def kernel_sample_light_source(scene: Scene, meta: SceneMeta, state: RayState,
                                bounce: int, integrator_type: int, render_layer: int,
-                               qmc_ctx=None, shading_ctx=None):
+                               qmc_ctx=None, shading_ctx=None,
+                               return_count: bool = False):
     """kernel_SampleLightSource (integrator_pt.cpp:350-424).
 
-    Returns (shade_color [N,4], new_rng).
+    Returns (shade_color [N,4], new_rng); with ``return_count`` also the
+    number of shadow rays actually traced (live & in_illum lanes).
     """
     N = state.ray_pos.shape[0]
     live = ~_is_dead(state.flags)
@@ -465,6 +467,8 @@ def kernel_sample_light_source(scene: Scene, meta: SceneMeta, state: RayState,
                            rands[..., 2],
                            QMC.rnd_float(table, idx, d0 + 2)], -1)
     if meta.num_lights == 0:
+        if return_count:
+            return jnp.zeros((N, 4), jnp.float32), rng_state, jnp.float32(0)
         return jnp.zeros((N, 4), jnp.float32), rng_state
 
     light_id = jnp.minimum((rands[..., 3] * meta.num_lights).astype(jnp.int32),
@@ -542,6 +546,8 @@ def kernel_sample_light_source(scene: Scene, meta: SceneMeta, state: RayState,
     shade = (light_color * bsdf['val'] / jnp.maximum(lgt_pdf_w, 1e-30)[..., None]
              * (cos_out * mis)[..., None])
     shade = jnp.where(need_shade[..., None], shade, 0.0)
+    if return_count:
+        return shade, rng_state, jnp.sum(need_trace.astype(jnp.float32))
     return shade, rng_state
 
 
@@ -758,10 +764,13 @@ def count_rays_pass(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
                 scene, meta, _extract_mat_id(state.flags),
                 state.hit_norm, state.hit_tang, state.hit_uv)
         if integrator_type != INTEGRATOR_STUPID_PT:
-            n_shadow = n_shadow + jnp.sum((~_is_dead(state.flags)).astype(jnp.float32))
-            shade, rng2 = kernel_sample_light_source(
+            # only lanes kernel_SampleLightSource actually traces count as
+            # shadow rays (live & in_illum; ADVICE r2: live-after-trace alone
+            # overstates mrays/s under orientation culling)
+            shade, rng2, n_tr = kernel_sample_light_source(
                 scene, meta, state, b, integrator_type, FB_COLOR, None,
-                shading_ctx=sctx)
+                shading_ctx=sctx, return_count=True)
+            n_shadow = n_shadow + n_tr
             state = state._replace(rng=rng2)
         else:
             shade = jnp.zeros_like(state.accum_color)

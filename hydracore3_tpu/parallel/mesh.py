@@ -98,37 +98,49 @@ def render_sharded(mesh: Mesh, scene, meta, spp: int, integrator: str = 'mispt',
 
 def scaling_report(scene, meta, spp: int = 4,
                    device_counts=None, verbose: bool = True):
-    """Rays/s scaling-efficiency harness (BASELINE: >= 80% at N hosts).
+    """Rays/s WEAK-scaling efficiency harness (BASELINE: >= 80% at N hosts).
 
-    Renders the same per-device workload on 1..n devices (weak scaling) and
-    reports throughput and efficiency vs the 1-device baseline.  On real
-    multi-chip hardware this measures ICI/DCN overhead; on a virtual CPU
-    mesh the devices share host cores, so only the partitioning/collective
-    correctness is meaningful there (tests assert bitwise-identical images
-    instead).
+    Keeps the per-device workload constant by scaling the sample budget with
+    the device count (n devices render the same frame at n*spp): weak-scaling
+    efficiency = thr_n / (thr_1 * n) = T_1 / T_n.  On real multi-chip
+    hardware this measures ICI/DCN + partitioning overhead.  On a virtual
+    CPU mesh the n 'devices' share the same host cores, so total throughput
+    — not per-device efficiency — is the meaningful number there; it is
+    reported as ``overhead_efficiency`` = thr_n / thr_1 (1.0 means sharding
+    added no overhead on fixed physical compute).
     """
     import time as _time
     all_dev = jax.devices()
     if device_counts is None:
         device_counts = [n for n in (1, 2, 4, 8, 16, 32)
                          if n <= len(all_dev)]
+    shared_cores = all_dev[0].platform == 'cpu'
     rows = []
     base = None
     for n in device_counts:
         mesh = make_mesh(all_dev[:n])
-        img = render_sharded(mesh, scene, meta, spp)  # compile+warm
+        spp_n = spp * n  # weak scaling: constant per-device sample budget
+        render_sharded(mesh, scene, meta, spp_n)  # compile+warm
         t0 = _time.time()
-        img = render_sharded(mesh, scene, meta, spp)
+        render_sharded(mesh, scene, meta, spp_n)
         dt = _time.time() - t0
-        samples = meta.width * meta.height * spp
+        samples = meta.width * meta.height * spp_n
         thr = samples / dt / 1e6
         if base is None:
             base = thr
         eff = thr / (base * n)
-        rows.append(dict(devices=n, msamples_s=thr, efficiency=eff))
+        ovh = thr / base
+        rows.append(dict(devices=n, msamples_s=thr, weak_efficiency=eff,
+                         overhead_efficiency=ovh))
         if verbose:
-            print(f'[scaling]: devices={n:3d} {thr:10.2f} Msamples/s '
-                  f'efficiency={eff:6.1%}', flush=True)
+            if shared_cores:
+                print(f'[scaling]: devices={n:3d} {thr:10.2f} Msamples/s '
+                      f'overhead_efficiency={ovh:6.1%} (virtual CPU mesh: '
+                      f'devices share host cores; weak eff meaningful on '
+                      f'real chips only)', flush=True)
+            else:
+                print(f'[scaling]: devices={n:3d} {thr:10.2f} Msamples/s '
+                      f'weak_efficiency={eff:6.1%}', flush=True)
     return rows
 
 

@@ -1169,7 +1169,7 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         inst_descs = [dict(geom_id=i.geom_id, m0=i.matrix,
                            m1=(i.matrix_motion if i.has_motion else None))
                       for i in instances]
-        tl_np = build_two_level_checked = TL2.build_two_level(mesh_tris, inst_descs)
+        tl_np = TL2.build_two_level(mesh_tris, inst_descs)
         two_level_obj = jax.tree_util.tree_map(jnp.asarray, tl_np)
 
     from ..accel import build_bvh

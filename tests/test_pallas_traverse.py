@@ -78,3 +78,46 @@ def test_pallas_any_hit():
         jnp.asarray(nodes_f), jnp.asarray(nodes_i), jnp.asarray(tris12),
         pos, d, tmin, tmax, any_hit=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(tri) >= 0, np.asarray(tri2) >= 0)
+
+
+def test_pallas_any_hit_no_premature_tile_exit():
+    """ADVICE r2 (high): the any-hit early exit must not use the CURRENT
+    leaf's slab mask as the liveness test.  Two spatially separated leaves;
+    lanes aimed at leaf A all get occluded there, lanes aimed only at leaf B
+    (outside A's AABB) must still be tested against B — the buggy exit
+    dropped them as unoccluded (light leaks)."""
+    # hand-built skip-pointer BVH: root(internal) -> leafA -> leafB
+    # leaf A: big quad-ish triangle around origin at z=0
+    # leaf B: big triangle around x=100 at z=0
+    triA = (np.array([-10., -10., 0.]), np.array([20., 0., 0.]),
+            np.array([0., 20., 0.]))
+    triB = (np.array([90., -10., 0.]), np.array([20., 0., 0.]),
+            np.array([0., 20., 0.]))
+    tris12 = np.zeros((2, 12), np.float32)
+    tris12[0, 0:3], tris12[0, 3:6], tris12[0, 6:9] = triA
+    tris12[1, 0:3], tris12[1, 3:6], tris12[1, 6:9] = triB
+    nodes_f = np.zeros((3, 8), np.float32)
+    nodes_i = np.zeros((3, 4), np.int32)
+    nodes_f[0, 0:3], nodes_f[0, 3:6] = (-10, -10, -1), (110, 10, 1)   # root
+    nodes_f[1, 0:3], nodes_f[1, 3:6] = (-10, -10, -1), (10, 10, 1)    # leaf A
+    nodes_f[2, 0:3], nodes_f[2, 3:6] = (90, -10, -1), (110, 10, 1)    # leaf B
+    nodes_i[0] = (-1, 0, 0, 0)   # internal: skip=-1, descend -> node 1
+    nodes_i[1] = (2, 0, 1, 0)    # leaf A: tri 0, skip -> node 2
+    nodes_i[2] = (-1, 1, 1, 0)   # leaf B: tri 1, end
+
+    n = TP.TILE  # exactly one tile, no padded lanes
+    pos = np.zeros((n, 3), np.float32)
+    d = np.tile(np.array([0., 0., 1.], np.float32), (n, 1))
+    half = n // 2
+    pos[:half] = (0., 0., -5.)      # group 1: occluded by leaf A
+    pos[half:] = (100., 0., -5.)    # group 2: occluded only by leaf B
+    tmin = jnp.zeros((n,))
+    tmax = jnp.full((n,), 10.0)
+
+    _, tri, _, _ = TP.intersect_clusters(
+        jnp.asarray(nodes_f), jnp.asarray(nodes_i), jnp.asarray(tris12),
+        jnp.asarray(pos), jnp.asarray(d), tmin, tmax,
+        any_hit=True, interpret=True)
+    occluded = np.asarray(tri) >= 0
+    assert occluded.all(), (
+        f'{(~occluded).sum()} lanes falsely unoccluded (premature tile exit)')
