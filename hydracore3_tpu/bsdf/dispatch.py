@@ -187,6 +187,21 @@ def _clamp_tex(scene, texid):
     return jnp.where(bad, 0, t)
 
 
+def slot0_tex_color(scene: Scene, meta: SceneMeta, md, mat_id, tc):
+    """Material slot-0 texture tap.
+
+    With the const-texture fold (every slot-0 texture is 1x1, see
+    scene/build.py mat_tex0_const) the tap is ONE per-material row fetch —
+    the bilinear gather+extract pair it replaces is the most expensive
+    shading primitive on TPU."""
+    if meta.tex0_all_const and scene.mat_tex0_const is not None:
+        return _fetch_rows(scene.mat_tex0_const, mat_id,
+                           scene.mat_tex0_const.shape[0])
+    tc_t = mul_rows_2x4(md['row0'][..., 0, :], md['row1'][..., 0, :], tc)
+    return TEX.sample(scene.textures, _clamp_tex(scene, md['texid'][..., 0]),
+                      tc_t)
+
+
 def _four_scalar_params(scene, meta, md, tc):
     """4-texture scalar params (integrator_pt_mat.cpp:151-167)."""
     ones = jnp.ones(md['cflags'].shape + (4,), jnp.float32)
@@ -220,8 +235,7 @@ def make_shading_ctx(scene: Scene, meta: SceneMeta, mat_id, n, tang, tc):
         has_nmap = md['texid'][..., 1] != jnp.int32(-1)
         bn = bump_mapping(scene, md, geom_normal, tang, tc)
         shade_normal = jnp.where(has_nmap[..., None], bn, geom_normal)
-    tc_t = mul_rows_2x4(md['row0'][..., 0, :], md['row1'][..., 0, :], tc)
-    tex_color = TEX.sample(scene.textures, _clamp_tex(scene, md['texid'][..., 0]), tc_t)
+    tex_color = slot0_tex_color(scene, meta, md, mat_id, tc)
     four_params = _four_scalar_params(scene, meta, md, tc)
     return dict(md=md, shade_normal=shade_normal, tex_color=tex_color,
                 four_params=four_params)
@@ -269,8 +283,7 @@ def material_sample_and_eval(scene: Scene, meta: SceneMeta, mat_id, wavelengths,
             md_b = gather_material(scene, curr_mat)
             is_blend = (md_b['mtype'] == MAT_TYPE_BLEND) & live
             rng_state, select = RNG.rnd_matb(rng_state, is_blend)
-            tc_t = mul_rows_2x4(md_b['row0'][..., 0, :], md_b['row1'][..., 0, :], tc)
-            wtex = TEX.sample(scene.textures, _clamp_tex(scene, md_b['texid'][..., 0]), tc_t)[..., 0]
+            wtex = slot0_tex_color(scene, meta, md_b, curr_mat, tc)[..., 0]
             weight = md_b['data'][..., BLEND_WEIGHT] * wtex
             pick2 = select < weight
             mult = jnp.where(pick2, weight, 1.0 - weight)
@@ -293,8 +306,7 @@ def material_sample_and_eval(scene: Scene, meta: SceneMeta, mat_id, wavelengths,
             bn = bump_mapping(scene, md, geom_normal, tang, tc)
             shade_normal = jnp.where(has_nmap[..., None], bn, geom_normal)
 
-        tc_t = mul_rows_2x4(md['row0'][..., 0, :], md['row1'][..., 0, :], tc)
-        tex_color = TEX.sample(scene.textures, _clamp_tex(scene, md['texid'][..., 0]), tc_t)
+        tex_color = slot0_tex_color(scene, meta, md, curr_mat, tc)
     rng_state, rands = RNG.rnd_mats(rng_state, live)
     if rnd_mats_override_full is not None:
         rands = rnd_mats_override_full   # KMLT: full 4-vector from chain state
@@ -419,8 +431,7 @@ def material_eval(scene: Scene, meta: SceneMeta, mat_id, wavelengths,
                 bm = jnp.where(cos1 <= 0.0, 0.0, cos2 / jnp.maximum(cos1, 1e-6))
                 bump_mult = jnp.where(has_nmap, bm, bump_mult)
 
-            tc_t = mul_rows_2x4(md['row0'][..., 0, :], md['row1'][..., 0, :], tc)
-            tex_color = TEX.sample(scene.textures, _clamp_tex(scene, md['texid'][..., 0]), tc_t)
+            tex_color = slot0_tex_color(scene, meta, md, curr_id, tc)
             four_params = _four_scalar_params(scene, meta, md, tc)
 
         val = jnp.zeros((N, 4), jnp.float32)
@@ -479,8 +490,7 @@ def material_eval(scene: Scene, meta: SceneMeta, mat_id, wavelengths,
 
         # blend node: push second child, descend into first
         is_blend = active & (md['mtype'] == MAT_TYPE_BLEND)
-        tc_tb = mul_rows_2x4(md['row0'][..., 0, :], md['row1'][..., 0, :], tc)
-        wtex = TEX.sample(scene.textures, _clamp_tex(scene, md['texid'][..., 0]), tc_tb)[..., 0]
+        wtex = slot0_tex_color(scene, meta, md, curr_id, tc)[..., 0]
         weight = md['data'][..., BLEND_WEIGHT] * wtex
         mat1 = md['datai'][..., 0]
         mat2 = md['datai'][..., 1]

@@ -58,7 +58,9 @@ def scene_with_params(scene: Scene, setup: DiffTexSetup, params):
         setup.texel_offset:setup.texel_offset + setup.size].set(params)
     textures = dataclasses.replace(scene.textures, texels=texels,
                                    quad_texels=None)
-    return dataclasses.replace(scene, textures=textures)
+    # the const-texture fold (scene/build.py mat_tex0_const) would read a
+    # stale baked value instead of the trainable texels — disable it
+    return dataclasses.replace(scene, textures=textures, mat_tex0_const=None)
 
 
 def pixel_loss(params, scene: Scene, meta: SceneMeta, setup: DiffTexSetup,

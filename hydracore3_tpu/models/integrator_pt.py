@@ -562,10 +562,7 @@ def kernel_next_bounce(scene: Scene, meta: SceneMeta, state: RayState, bounce: i
         tex_color = shading_ctx['tex_color']
     else:
         md = MAT.gather_material(scene, mat_id)
-        tc_t = LM.mul_rows_2x4(md['row0'][..., 0, :], md['row1'][..., 0, :],
-                               state.hit_uv)
-        texid = md['texid'][..., 0]
-        tex_color = TEX.sample(scene.textures, MAT._clamp_tex(scene, texid), tc_t)
+        tex_color = MAT.slot0_tex_color(scene, meta, md, mat_id, state.hit_uv)
     md_mtype = md['mtype']
     is_light_mat = md_mtype == jnp.uint32(MAT_TYPE_LIGHT_SOURCE)
 

@@ -61,6 +61,18 @@ class TexturePoolBuilder:
         self._total += w * h
         return slot
 
+    def slot_dims(self, slot: int) -> tuple:
+        """(width, height) of a committed slot."""
+        _, w, h, _, _, _ = self._table[slot]
+        return w, h
+
+    def slot_const_value(self, slot: int):
+        """The single texel of a 1x1 slot (for const-texture folding), or
+        None when the slot is larger than 1x1."""
+        if self.slot_dims(slot) != (1, 1):
+            return None
+        return self._texels[slot][0].copy()
+
     def finish(self, quad_pack_max_texels: int = 1 << 26) -> 'TexturePool':
         table = np.array(self._table, np.int32)
         texels = np.concatenate(self._texels, axis=0)

@@ -558,6 +558,8 @@ class SceneMeta:
     max_blend_stack: int = 1
     has_bump: bool = False
     has_four_textures: bool = False
+    # every material slot-0 texture is 1x1 -> taps folded to constants
+    tex0_all_const: bool = False
     num_tris: int = 0
     use_bvh: bool = False
     # two-level BLAS/TLAS accel (CrossRT semantics): matrix-lerped motion,
@@ -702,6 +704,12 @@ class Scene:
     mat_packed_i32: jnp.ndarray   # [M, 16]: mtype cflags nonlinear pad texid4 spdid4 datai4 pad
     light_packed_f32: jnp.ndarray # [L, 96]
     light_packed_i32: jnp.ndarray # [L, 16]
+
+    # const-texture fold (KSPEC-style trace-time specialization): when EVERY
+    # material's slot-0 texture is a 1x1 constant, the bilinear tap reduces
+    # to a per-material constant baked here; texture fetches were ~40% of
+    # the Cornell pass on TPU (docs/PERF_NOTES.md)
+    mat_tex0_const: jnp.ndarray = None  # [M,4] f32 (None unless folded)
 
     # two-level accel (accel/two_level.TwoLevel) or None when using the soup
     two_level: object = None
@@ -1259,6 +1267,22 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
     pool = tc.pool.finish()
     film_arrays = film_state.arrays()
 
+    # ---- const-texture fold (trace-time KSPEC analog) ----------------------
+    # If every material's slot-0 texture is a 1x1 constant, bake the tap
+    # result per material; the bilinear gather+extract pair is the single
+    # most expensive shading primitive on TPU (docs/PERF_NOTES.md #2).
+    tex0_all_const = True
+    mat_tex0_const = np.ones((len(materials), 4), np.float32)
+    for i, m_ in enumerate(materials):
+        t0 = int(np.int64(m_.texid[0]) & 0xFFFFFFFF)
+        if t0 == INVALID_ID or t0 >= len(tc.pool._table):
+            t0 = 0  # _clamp_tex: invalid -> white dummy slot
+        cval = tc.pool.slot_const_value(t0)
+        if cval is None:
+            tex0_all_const = False
+            break
+        mat_tex0_const[i] = cval
+
     # ---- packed tables (gather-count optimization; see Scene docstring) ---
     # int fields ride as exact-small-int f32 columns 64:80 so ONE one-hot
     # matmul fetches the whole material (narrow i32 row gathers were a top
@@ -1411,6 +1435,7 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         mat_packed_i32=jnp.asarray(mat_pi),
         light_packed_f32=jnp.asarray(lgt_pf),
         light_packed_i32=jnp.asarray(lgt_pi),
+        mat_tex0_const=(jnp.asarray(mat_tex0_const) if tex0_all_const else None),
         two_level=two_level_obj,
         cl_nodes_f=None if cl_arrays is None else jnp.asarray(cl_arrays[0]),
         cl_nodes_i=None if cl_arrays is None else jnp.asarray(cl_arrays[1]),
@@ -1438,6 +1463,7 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         max_blend_stack=4 if MAT_TYPE_BLEND in mat_types_present else 1,
         has_bump=any(m_.texid[1] != INVALID_ID for m_ in materials),
         has_four_textures=any(m_.cflags & FLAG_FOUR_TEXTURES for m_ in materials),
+        tex0_all_const=tex0_all_const,
         num_tris=int(len(soup_v0)),
         use_bvh=len(soup_v0) > 512 and not use_pallas,
         cam_lens_radius=lens_radius, cam_target_dist=cam_target_dist,
