@@ -27,9 +27,10 @@ def main():
     spp = int(os.environ.get('BENCH_SPP', '64'))
     scene, meta = SB.load_scene(CORNELL, width=width, height=height)
 
-    tile = 1 << 15  # VMEM-resident intermediates (see render.py)
-    # warmup + compile (n_iters is dynamic: same executable as the timed run)
-    R.render(scene, meta, spp=1, integrator='mispt', tile_size=tile)
+    tile = 1 << 15  # XLA path: VMEM-resident intermediates (see render.py)
+    # warmup + compile with the SAME executables as the timed run (the
+    # megakernel path unrolls k=8 samples per dispatch: spp=8 warms it)
+    R.render(scene, meta, spp=8, integrator='mispt', tile_size=tile)
 
     t0 = time.time()
     img = R.render(scene, meta, spp=spp, integrator='mispt', tile_size=tile)

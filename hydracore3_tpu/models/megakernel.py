@@ -55,7 +55,7 @@ from ..scene.build import (
 from ..bsdf import common as C
 from ..ops import texture as TEX
 
-S, L = 8, 128          # plane tile: 8 sublanes x 128 lanes = 1024 rays
+S, L = 16, 128         # plane tile: 16 sublanes x 128 lanes = 2048 rays
 RBLK = S * L           # rays per grid block
 M_PI = math.pi
 INV_PI = 1.0 / math.pi
@@ -612,6 +612,10 @@ def pack(scene: Scene, meta: SceneMeta) -> MegaPack:
         # per-lane gather is one (8,128) tile wide).  8x quad memory (256B
         # per texel), bounded by supported()'s 2^21-texel cap.
         q = np.asarray(scene.textures.quad_texels, np.float32)  # [Q,16]
+        # corner-major (c00 c10 c01 c11 x 4ch) -> channel-major (r: 4
+        # corners, g, b, a): the in-kernel extraction is then 16 column
+        # slices + a weighted sum on planes, no per-ray relayout
+        q = q.reshape(-1, 4, 4).transpose(0, 2, 1).reshape(-1, 16)
         Q = q.shape[0]
         qp = np.concatenate([q, np.zeros((8, 16), np.float32)], axis=0)
         idx = np.arange(Q)[:, None] + np.arange(8)[None, :]
@@ -737,6 +741,7 @@ def _trace_blocks(pk_wx, pk_wy, pk_wz, shade_t, n_tris, o, d, tmin, tmax,
 
     TB = min(n_tris, 128)
     n_blk = -(-n_tris // TB)
+    rhs_od = jnp.concatenate([rhs_o, rhs_d], axis=1)     # [4, 2R]
 
     if any_hit:
         occ = jnp.zeros((1, R), bool)
@@ -747,25 +752,29 @@ def _trace_blocks(pk_wx, pk_wy, pk_wz, shade_t, n_tris, o, d, tmin, tmax,
         best_sh = jnp.zeros((32, R), jnp.float32)
 
     f32 = jnp.float32
-    hi = jax.lax.Precision.HIGHEST   # Mosaic's default f32 dot is one bf16
-    # pass; full f32 is required for hit/uv parity with the XLA path
+    # Mosaic supports only DEFAULT (one bf16 pass — breaks hit parity)
+    # and HIGHEST f32 emulation; ONE fused [3T,4]@[4,2R] matmul replaces
+    # the six per-component dots (6x fewer MXU passes).
+    hi = jax.lax.Precision.HIGHEST
     for b in range(n_blk):
         lo = b * TB
         wxb = jax.lax.slice_in_dim(pk_wx, lo, lo + TB, axis=0)
         wyb = jax.lax.slice_in_dim(pk_wy, lo, lo + TB, axis=0)
         wzb = jax.lax.slice_in_dim(pk_wz, lo, lo + TB, axis=0)
-        po_z = jnp.dot(wzb, rhs_o, preferred_element_type=f32, precision=hi)
-        pd_z = jnp.dot(wzb, rhs_d, preferred_element_type=f32, precision=hi)
-        po_x = jnp.dot(wxb, rhs_o, preferred_element_type=f32, precision=hi)
-        pd_x = jnp.dot(wxb, rhs_d, preferred_element_type=f32, precision=hi)
-        po_y = jnp.dot(wyb, rhs_o, preferred_element_type=f32, precision=hi)
-        pd_y = jnp.dot(wyb, rhs_d, preferred_element_type=f32, precision=hi)
-        det_ok = jnp.abs(pd_z) > 1e-12
-        inv_dz = 1.0 / jnp.where(det_ok, pd_z, 1.0)
-        t = -po_z * inv_dz
+        wall = jnp.concatenate([wxb, wyb, wzb], axis=0)  # [3TB, 4]
+        pall = jnp.dot(wall, rhs_od, preferred_element_type=f32, precision=hi)
+        po_x = pall[0:TB, 0:R]
+        pd_x = pall[0:TB, R:2 * R]
+        po_y = pall[TB:2 * TB, 0:R]
+        pd_y = pall[TB:2 * TB, R:2 * R]
+        po_z = pall[2 * TB:3 * TB, 0:R]
+        pd_z = pall[2 * TB:3 * TB, R:2 * R]
+        # no explicit det guard: pd_z==0 yields inf/nan t and every
+        # comparison below rejects inf-t/nan-t lanes (IEEE semantics)
+        t = -po_z / pd_z
         u = po_x + t * pd_x
         v = po_y + t * pd_y
-        valid = (det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        valid = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                  & (t > tminw) & (t < tmaxw))
         if any_hit:
             occ = occ | jnp.any(valid, axis=0, keepdims=True)
@@ -777,7 +786,8 @@ def _trace_blocks(pk_wx, pk_wy, pk_wz, shade_t, n_tris, o, d, tmin, tmax,
         oh = ((ii == li) & valid).astype(f32)                    # [TB,R]
         shb = jnp.dot(jax.lax.slice_in_dim(shade_t, lo, lo + TB, axis=1),
                       oh, preferred_element_type=f32,
-                      precision=hi)                              # [32,R]
+                      precision=hi)  # [32,R]; the f32-emulation passes
+        # stay EXACT for a one-hot select (disjoint-mantissa decomposition)
         ub = jnp.sum(oh * u, axis=0)
         vb = jnp.sum(oh * v, axis=0)
         closer = bt < best_t                                     # [1,R]
@@ -891,20 +901,19 @@ def stage_tap_prep(tex_lane, md, st):
     return qidx, w4
 
 
-def tex_from_rows(rows16, w16):
+def tex_from_rows(rows16, w4):
     """In-kernel bilinear from gathered sliding-window quad rows.
 
-    rows16: [R,16] (f32-castable) — the ray's 2x2 footprint (c00 c10 c01
-    c11, 4ch each); w16: [R,16] f32 corner weights repeated per channel.
+    rows16: [R,16] (f32-castable) channel-major quad (r corners, g, b, a);
+    w4: [4,sb,128] corner-weight planes (recomputed by the consumer kernel
+    from state — cheaper than shipping [N,16] weights between kernels).
     Returns tex color [4,sb,128]."""
     R = rows16.shape[0]
-    prod = rows16.astype(jnp.float32) * w16
-    k = jax.lax.broadcasted_iota(jnp.int32, (16, 4), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (16, 4), 1)
-    psel = (k % 4 == c).astype(jnp.float32)
-    rgba = jnp.dot(prod, psel, preferred_element_type=jnp.float32)  # [R,4]
     sb = R // L
-    return jnp.stack([rgba[:, i].reshape(sb, L) for i in range(4)])
+    qp = [rows16[:, k].astype(jnp.float32).reshape(sb, L) for k in range(16)]
+    return jnp.stack([qp[c * 4 + 0] * w4[0] + qp[c * 4 + 1] * w4[1]
+                      + qp[c * 4 + 2] * w4[2] + qp[c * 4 + 3] * w4[3]
+                      for c in range(4)])
 
 
 # ===========================================================================
@@ -1262,9 +1271,7 @@ def sample_pass_ref(pk: MegaPack, xs, ys, rngx, rngy, depth: int,
             qidx, w4 = stage_tap_prep(pk.tex_lane, md, st)
             q = qidx.reshape(-1)
             rows = pk.quad_rows[q]                      # [R,128] bf16 (XLA)
-            w16 = jnp.repeat(jnp.stack([w4[i].reshape(-1) for i in range(4)],
-                                       axis=1), 4, axis=1)
-            tex = tex_from_rows(rows[:, :16], w16)
+            tex = tex_from_rows(rows[:, :16], w4)
         if integrator_type != INTEGRATOR_STUPID_PT:
             shade, rngx2, rngy2 = stage_nee(
                 pk.wx, pk.wy, pk.wz, pk.shade_t, pk.n_tris, pk.light_lane,
@@ -1343,8 +1350,11 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def bspec(k):       # [k, NB*S, L] state tensors blocked by grid
-        return pl.BlockSpec((k, S, L), lambda i: (0, i, 0),
+    def bspec(k):
+        # block-major state [NB, k, S, L]: ONE contiguous DMA per grid step
+        # (the [k, NB*S, L] layout DMA'd k strided 4KB slabs per step and
+        # dominated the per-block time at large grids)
+        return pl.BlockSpec((1, k, S, L), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def rspec(c, dt=None):   # [NB*RBLK, c] ray-major rows blocked by grid
@@ -1364,30 +1374,32 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
             wz = refs[i][:]; i += 1
             shade_t = refs[i][:]; i += 1
             mat_lane = refs[i][:]; i += 1
-            tex_lane = refs[i][:] if emit_tap else None
-            if emit_tap:
+            tex_lane = refs[i][:] if (emit_tap or take_tap) else None
+            if emit_tap or take_tap:
                 i += 1
             light_lane = refs[i][:] if shade_bounce is not None else None
             if shade_bounce is not None:
                 i += 1
             if first:
-                xy = refs[i][:]; i += 1
-                su = refs[i][:]; i += 1
+                xy = refs[i][0]; i += 1
+                su = refs[i][0]; i += 1
                 st = stage_init(consts, xy[0], xy[1], su[SU_RNGX], su[SU_RNGY])
             else:
-                sf = refs[i][:]; i += 1
-                su = refs[i][:]; i += 1
+                sf = refs[i][0]; i += 1
+                su = refs[i][0]; i += 1
                 st = _unpack_state(sf, su)
             if take_tap:
                 rows = refs[i][:]; i += 1
-                w16 = refs[i][:]; i += 1
             n_in = i
             out = list(refs[n_in:])
 
             if shade_bounce is not None:
                 md = fetch_mat(mat_lane, _mat_id(st['flags']))
                 if textured:
-                    tex = tex_from_rows(rows[:, :16], w16)
+                    # recompute the corner weights from state — cheaper
+                    # than shipping [N,16] weights across the boundary
+                    _, w4 = stage_tap_prep(tex_lane, md, st)
+                    tex = tex_from_rows(rows[:, :16], w4)
                 else:
                     tex = md['texc']
                 if integrator_type != INTEGRATOR_STUPID_PT:
@@ -1403,23 +1415,26 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
 
             if last:
                 contrib = stage_env_contribute(consts, st, integrator_type)
-                out[0][:] = contrib
-                out[1][:] = jnp.stack([st['rngx'], st['rngy'], st['flags']])
+                out[0][0] = contrib
+                out[1][0] = jnp.stack([st['rngx'], st['rngy'], st['flags']])
                 return
 
             st = stage_trace(wx, wy, wz, shade_t, n_tris, st, trace_bounce)
             sf2, su2 = _pack_state(st)
-            out[0][:] = sf2
-            out[1][:] = su2
+            out[0][0] = sf2
+            out[1][0] = su2
             if emit_tap:
                 md2 = fetch_mat(mat_lane, _mat_id(st['flags']))
-                qidx, w4 = stage_tap_prep(tex_lane, md2, st)
-                # clamp into the pool so the XLA gather never reads OOB
-                out[2][:] = jnp.clip(qidx, 0, n_quad_rows - 1)
-                out[3][:] = w4
+                qidx, _ = stage_tap_prep(tex_lane, md2, st)
+                # clamp into the pool (the XLA gather must never read OOB);
+                # dead lanes all read row 0 — random-row DMA bandwidth is
+                # the tap's cost, and one hot row is effectively free
+                live = ~_is_dead(st['flags'])
+                out[2][0, 0] = jnp.where(live,
+                                         jnp.clip(qidx, 0, n_quad_rows - 1), 0)
 
         in_specs = [smem, full, full, full, full, full]
-        if emit_tap:
+        if emit_tap or take_tap:
             in_specs.append(full)
         if shade_bounce is not None:
             in_specs.append(full)
@@ -1428,23 +1443,21 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
         else:
             in_specs += [bspec(SF_NROWS), bspec(SU_NROWS)]
         if take_tap:
-            in_specs += [rspec(128), rspec(16)]
+            in_specs += [rspec(128)]
 
         def out_for(n_rays):
+            nb = n_rays // RBLK
             if last:
-                shapes = (jax.ShapeDtypeStruct((4, n_rays // L, L), jnp.float32),
-                          jax.ShapeDtypeStruct((SU_NROWS, n_rays // L, L), jnp.uint32))
+                shapes = (jax.ShapeDtypeStruct((nb, 4, S, L), jnp.float32),
+                          jax.ShapeDtypeStruct((nb, SU_NROWS, S, L), jnp.uint32))
                 specs = (bspec(4), bspec(SU_NROWS))
             else:
-                shapes = [jax.ShapeDtypeStruct((SF_NROWS, n_rays // L, L), jnp.float32),
-                          jax.ShapeDtypeStruct((SU_NROWS, n_rays // L, L), jnp.uint32)]
+                shapes = [jax.ShapeDtypeStruct((nb, SF_NROWS, S, L), jnp.float32),
+                          jax.ShapeDtypeStruct((nb, SU_NROWS, S, L), jnp.uint32)]
                 specs = [bspec(SF_NROWS), bspec(SU_NROWS)]
                 if emit_tap:
-                    shapes += [jax.ShapeDtypeStruct((n_rays // L, L), jnp.int32),
-                               jax.ShapeDtypeStruct((4, n_rays // L, L), jnp.float32)]
-                    specs += [pl.BlockSpec((S, L), lambda i: (i, 0),
-                                           memory_space=pltpu.VMEM),
-                              bspec(4)]
+                    shapes += [jax.ShapeDtypeStruct((nb, 1, S, L), jnp.int32)]
+                    specs += [bspec(1)]
                 shapes, specs = tuple(shapes), tuple(specs)
             return shapes, specs
 
@@ -1470,23 +1483,20 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
     return ks, call
 
 
-def _tap_xla(pk: MegaPack, qidx, w4):
+def _tap_xla(pk: MegaPack, qidx):
     """Between-kernel texture tap: ONE DMA row gather from the sliding
-    quad pool + the [N,16] weight expansion."""
-    q = qidx.reshape(-1)
-    rows = pk.quad_rows[q]                                     # [N,128] bf16
-    w16 = jnp.repeat(jnp.stack([w4[i].reshape(-1) for i in range(4)], axis=1),
-                     4, axis=1)                                # [N,16] f32
-    return rows, w16
+    quad pool."""
+    return pk.quad_rows[qidx.reshape(-1)]                      # [N,128] bf16
 
 
 def sample_pass_pallas(pk: MegaPack, xy, sf_unused, su, depth: int,
                        integrator_type: int, interpret: bool = False):
     """One sample per ray through the Pallas kernel chain.
 
-    xy: [2, NR/L, L] f32 pixel coords; su: [3, NR/L, L] u32 (rng + flags
-    slot).  Returns (contrib [4, NR/L, L], su')."""
-    n_rays = xy.shape[1] * xy.shape[2]
+    xy: [NB, 2, S, L] f32 pixel coords; su: [NB, 3, S, L] u32 (rng + flags
+    slot) — block-major (see bspec).  Returns (contrib [NB, 4, S, L],
+    su')."""
+    n_rays = xy.shape[0] * RBLK
     NB = n_rays // RBLK
     nq = 1 if pk.quad_rows is None else int(pk.quad_rows.shape[0])
     ks, call = _build_kernels(depth, integrator_type, not pk.tex_const,
@@ -1498,22 +1508,130 @@ def sample_pass_pallas(pk: MegaPack, xy, sf_unused, su, depth: int,
     pk_args = base + ([pk.tex_lane] if textured else [])
     r = call(ks['first'], pk_args, [xy, su], n_rays)
     if textured:
-        sf, su, qidx, w4 = r
-        rows, w16 = _tap_xla(pk, qidx, w4)
+        sf, su, qidx = r
+        rows = _tap_xla(pk, qidx)
     else:
         sf, su = r
 
     for b in range(1, n_bounce):
         pk_args = base + ([pk.tex_lane] if textured else []) + [pk.light_lane]
-        state_args = [sf, su] + ([rows, w16] if textured else [])
+        state_args = [sf, su] + ([rows] if textured else [])
         r = call(ks[('mid', b)], pk_args, state_args, n_rays)
         if textured:
-            sf, su, qidx, w4 = r
-            rows, w16 = _tap_xla(pk, qidx, w4)
+            sf, su, qidx = r
+            rows = _tap_xla(pk, qidx)
         else:
             sf, su = r
 
-    pk_args = base + [pk.light_lane]
-    state_args = [sf, su] + ([rows, w16] if textured else [])
+    pk_args = base + ([pk.tex_lane] if textured else []) + [pk.light_lane]
+    state_args = [sf, su] + ([rows] if textured else [])
     contrib, su = call(ks['last'], pk_args, state_args, n_rays)
     return contrib, su
+
+
+# ===========================================================================
+# render driver
+# ===========================================================================
+
+_PACK_CACHE: dict = {}
+
+
+def get_pack(scene: Scene, meta: SceneMeta) -> MegaPack:
+    """Per-scene pack cache (holds a strong scene ref so ids stay valid)."""
+    key = id(scene)
+    hit = _PACK_CACHE.get(key)
+    if hit is not None and hit[0] is scene and hit[1] == meta:
+        return hit[2]
+    pk = pack(scene, meta)
+    if len(_PACK_CACHE) > 8:
+        _PACK_CACHE.clear()
+    _PACK_CACHE[key] = (scene, meta, pk)
+    return pk
+
+
+@functools.partial(jax.jit, static_argnames=('depth', 'integrator_type',
+                                             'k_samples', 'interpret'))
+def _render_chunk(pk: MegaPack, xy, su, depth: int, integrator_type: int,
+                  k_samples: int, interpret: bool):
+    """k_samples unrolled sample passes (NOT lax.fori: while-loop carries
+    defeat pallas buffer aliasing — gathers and kernels ran 2-4x slower
+    under fori in the v5e profile)."""
+    fb = jnp.zeros(xy.shape[:1] + (4, S, L), jnp.float32)
+    for _ in range(k_samples):
+        c, su = sample_pass_pallas(pk, xy, None, su, depth, integrator_type,
+                                   interpret)
+        fb = fb + c
+    return fb, su
+
+
+def render(scene: Scene, meta: SceneMeta, spp: int = None,
+           integrator: str = 'mispt', channels: int = 4,
+           tile_size: int = 1 << 17, k_samples: int = 8,
+           progress: bool = False, return_timing: bool = False):
+    """Full-frame render through the Pallas megakernel pipeline.
+
+    Mirrors render.render()'s contract ([H,W,channels] float32, normalized);
+    RNG seeding matches the XLA path (same gen_init streams), so images
+    agree with it up to FP-boundary path divergence."""
+    import time as _time
+    from ..ops import rng as RNG
+
+    assert channels == 4
+    itype = {'naivept': INTEGRATOR_STUPID_PT, 'shadowpt': INTEGRATOR_SHADOW_PT,
+             'mispt': INTEGRATOR_MIS_PT}[integrator]
+    spp = spp or meta.spp
+    W, H = meta.width, meta.height
+    N = W * H
+    interpret = jax.default_backend() != 'tpu'
+    pk = get_pack(scene, meta)
+
+    tile = max(RBLK, min(tile_size, 1 << 17))
+    n_tiles = -(-N // tile)
+    k = max(1, min(k_samples, spp))
+
+    t0 = _time.time()
+    fb_parts = []
+    su_tiles = []
+    xy_tiles = []
+    for t in range(n_tiles):
+        ids = np.arange(t * tile, (t + 1) * tile, dtype=np.int64)
+        ids_c = np.minimum(ids, N - 1).astype(np.int32)
+        NBt = tile // RBLK
+        xy = np.stack([(ids_c % W).astype(np.float32),
+                       (ids_c // W).astype(np.float32)])
+        xy_tiles.append(jnp.asarray(
+            xy.reshape(2, NBt, S, L).transpose(1, 0, 2, 3)))
+        rng0 = np.asarray(RNG.gen_init(ids_c))
+        su = np.zeros((3, tile), np.uint32)
+        su[0] = rng0[:, 0]
+        su[1] = rng0[:, 1]
+        su_tiles.append(jnp.asarray(
+            su.reshape(3, NBt, S, L).transpose(1, 0, 2, 3)))
+        fb_parts.append(None)
+
+    done = 0
+    while done < spp:
+        kk = min(k, spp - done)
+        for t in range(n_tiles):
+            fb, su_tiles[t] = _render_chunk(pk, xy_tiles[t], su_tiles[t],
+                                            meta.trace_depth, itype, kk,
+                                            interpret)
+            fb_parts[t] = fb if fb_parts[t] is None else fb_parts[t] + fb
+        done += kk
+        if progress:
+            print(f'rendering, progress = {100.0 * done / spp:.2f} %',
+                  end='\r')
+    if progress:
+        print()
+    out = np.zeros((N, 4), np.float32)
+    for t in range(n_tiles):
+        part = np.asarray(fb_parts[t])           # [NB,4,S,L]
+        flat = part.transpose(1, 0, 2, 3).reshape(4, -1).T
+        lo = t * tile
+        hi = min(lo + tile, N)
+        out[lo:hi] += flat[:hi - lo]
+    total = _time.time() - t0
+    img = (out / float(spp)).reshape(H, W, 4)[..., :channels]
+    if return_timing:
+        return img, dict(total_s=total, spp=spp, rays=N * spp)
+    return img

@@ -24,13 +24,17 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), (DATA_AXIS,))
 
 
-def sharded_render_tile(mesh: Mesh, scene, meta, integrator_type: int = 2,
+@functools.lru_cache(maxsize=32)
+def sharded_render_tile(mesh: Mesh, meta, integrator_type: int = 2,
                         render_layer: int = 0, channels: int = 4,
                         n_iters: int = 1):
     """Build a pjit-able function rendering a pixel batch sharded over chips.
 
     Per-pixel radiance stays local to the owning chip (no communication at
-    all in the forward pass, matching SURVEY §2.5 P5)."""
+    all in the forward pass, matching SURVEY §2.5 P5).  Cached per
+    (mesh, meta, config): a fresh shard_map closure per call would miss the
+    jit cache and re-compile every invocation (this was exactly the bug
+    that made the r2 scaling report measure XLA compiles, not renders)."""
     from .. import render as R
 
     def tile_fn(scene_, rng_state, pixel_ids):
@@ -89,11 +93,18 @@ def render_sharded(mesh: Mesh, scene, meta, spp: int, integrator: str = 'mispt',
     rng0 = RNG.gen_init(pixel_ids)
 
     itype = R.INTEGRATOR_BY_NAME[integrator]
-    fn = sharded_render_tile(mesh, scene, meta, itype, 0, channels,
+    fn = sharded_render_tile(mesh, meta, itype, 0, channels,
                              n_iters=int(spp))
     fb, _ = fn(scene, rng0, pixel_ids)
     img = np.asarray(fb)[:N] / float(spp)
     return img.reshape(H, W, channels)
+
+
+def _timed(f):
+    import time as _time
+    t0 = _time.time()
+    f()
+    return _time.time() - t0
 
 
 def scaling_report(scene, meta, spp: int = 4,
@@ -121,9 +132,8 @@ def scaling_report(scene, meta, spp: int = 4,
         mesh = make_mesh(all_dev[:n])
         spp_n = spp * n  # weak scaling: constant per-device sample budget
         render_sharded(mesh, scene, meta, spp_n)  # compile+warm
-        t0 = _time.time()
-        render_sharded(mesh, scene, meta, spp_n)
-        dt = _time.time() - t0
+        dt = min(_timed(lambda: render_sharded(mesh, scene, meta, spp_n))
+                 for _ in range(3))
         samples = meta.width * meta.height * spp_n
         thr = samples / dt / 1e6
         if base is None:

@@ -242,6 +242,22 @@ def render(scene: Scene, meta: SceneMeta, spp: int = None,
     rlayer = LAYER_BY_NAME[layer]
     W, H = meta.width, meta.height
     N = W * H
+
+    # Pallas megakernel fast path (models/megakernel.py): whole-bounce
+    # kernels + between-kernel texture row gathers; auto-selected for the
+    # scene/feature classes it covers. HYDRA_MEGAKERNEL=0 disables.
+    mk_env = os.environ.get('HYDRA_MEGAKERNEL', '')
+    mk_on = (mk_env == '1'
+             or (mk_env != '0' and jax.default_backend() == 'tpu'))
+    if (rlayer == IPT.FB_COLOR and channels == 4
+            and not (checkpoint_path and checkpoint_every) and not resume
+            and mk_on):   # off-TPU pallas runs interpreted (slow): opt-in
+        from .models import megakernel as MK
+        if MK.supported(scene, meta):
+            return MK.render(scene, meta, spp=spp, integrator=integrator,
+                             channels=channels, progress=progress,
+                             return_timing=return_timing)
+
     if iters_per_dispatch <= 0:
         # default: the whole spp budget in one dispatch per tile, unless
         # checkpointing needs finer granularity (host round-trips through
