@@ -29,8 +29,8 @@ def main():
 
     tile = 1 << 15  # XLA path: VMEM-resident intermediates (see render.py)
     # warmup + compile with the SAME executables as the timed run (the
-    # megakernel path unrolls k=8 samples per dispatch: spp=8 warms it)
-    R.render(scene, meta, spp=8, integrator='mispt', tile_size=tile)
+    # megakernel path unrolls k=16 samples per dispatch: spp=16 warms it)
+    R.render(scene, meta, spp=16, integrator='mispt', tile_size=tile)
 
     t0 = time.time()
     img = R.render(scene, meta, spp=spp, integrator='mispt', tile_size=tile)

@@ -206,6 +206,11 @@ def render_mlt(scene: Scene, meta: SceneMeta, spp: int = 64,
     if verbose:
         print(f'[IntegratorKMLT]: average brightness      = {avg_brightness:.2f}')
         print(f'[IntegratorKMLT]: average acceptance rate = {100.0 * acceptance:.2f}%')
+    # normConst = avgBrightness/actualBrightness exactly as the reference
+    # (integrator_kmlt.cpp:461-473): the splat image's mean is FORCED to the
+    # large-step brightness estimate — the reference uses no burn-in and no
+    # separate large-step image either (the commented-out m_omcImage path,
+    # :457-459/:474-475, is dead code there too)
     norm = avg_brightness / max(actual_brightness, 1e-20)
     img = (fb * norm).reshape(H, W, 4)
     return img[..., :channels]

@@ -741,7 +741,6 @@ def _trace_blocks(pk_wx, pk_wy, pk_wz, shade_t, n_tris, o, d, tmin, tmax,
 
     TB = min(n_tris, 128)
     n_blk = -(-n_tris // TB)
-    rhs_od = jnp.concatenate([rhs_o, rhs_d], axis=1)     # [4, 2R]
 
     if any_hit:
         occ = jnp.zeros((1, R), bool)
@@ -752,23 +751,30 @@ def _trace_blocks(pk_wx, pk_wy, pk_wz, shade_t, n_tris, o, d, tmin, tmax,
         best_sh = jnp.zeros((32, R), jnp.float32)
 
     f32 = jnp.float32
-    # Mosaic supports only DEFAULT (one bf16 pass — breaks hit parity)
-    # and HIGHEST f32 emulation; ONE fused [3T,4]@[4,2R] matmul replaces
-    # the six per-component dots (6x fewer MXU passes).
+    # shade-row fetch matmul precision: Mosaic's DEFAULT f32 dot is one
+    # bf16 pass; the f32-emulation passes of HIGHEST stay EXACT for a
+    # one-hot select (disjoint-mantissa decomposition sums losslessly)
     hi = jax.lax.Precision.HIGHEST
     for b in range(n_blk):
         lo = b * TB
         wxb = jax.lax.slice_in_dim(pk_wx, lo, lo + TB, axis=0)
         wyb = jax.lax.slice_in_dim(pk_wy, lo, lo + TB, axis=0)
         wzb = jax.lax.slice_in_dim(pk_wz, lo, lo + TB, axis=0)
-        wall = jnp.concatenate([wxb, wyb, wzb], axis=0)  # [3TB, 4]
-        pall = jnp.dot(wall, rhs_od, preferred_element_type=f32, precision=hi)
-        po_x = pall[0:TB, 0:R]
-        pd_x = pall[0:TB, R:2 * R]
-        po_y = pall[TB:2 * TB, 0:R]
-        pd_y = pall[TB:2 * TB, R:2 * R]
-        po_z = pall[2 * TB:3 * TB, 0:R]
-        pd_z = pall[2 * TB:3 * TB, R:2 * R]
+
+        # Woop transform as VPU FMAs ([T,1] columns broadcast against
+        # [1,R] ray rows): exact f32 and 3x faster than the MXU HIGHEST
+        # emulation for these latency-bound tiny matmuls (v5e measured
+        # 65us vs 188us per 131k-ray trace)
+        def tf(w, rhs):
+            return (w[:, 0:1] * rhs[0:1] + w[:, 1:2] * rhs[1:2]
+                    + w[:, 2:3] * rhs[2:3] + w[:, 3:4] * rhs[3:4])
+
+        po_x = tf(wxb, rhs_o)
+        pd_x = tf(wxb, rhs_d)
+        po_y = tf(wyb, rhs_o)
+        pd_y = tf(wyb, rhs_d)
+        po_z = tf(wzb, rhs_o)
+        pd_z = tf(wzb, rhs_d)
         # no explicit det guard: pd_z==0 yields inf/nan t and every
         # comparison below rejects inf-t/nan-t lanes (IEEE semantics)
         t = -po_z / pd_z
@@ -901,16 +907,16 @@ def stage_tap_prep(tex_lane, md, st):
     return qidx, w4
 
 
-def tex_from_rows(rows16, w4):
-    """In-kernel bilinear from gathered sliding-window quad rows.
+def tex_from_rows(q16, w4):
+    """In-kernel bilinear from pre-transposed quad planes.
 
-    rows16: [R,16] (f32-castable) channel-major quad (r corners, g, b, a);
-    w4: [4,sb,128] corner-weight planes (recomputed by the consumer kernel
-    from state — cheaper than shipping [N,16] weights between kernels).
-    Returns tex color [4,sb,128]."""
-    R = rows16.shape[0]
-    sb = R // L
-    qp = [rows16[:, k].astype(jnp.float32).reshape(sb, L) for k in range(16)]
+    q16: [16,sb,128] (f32-castable) channel-major quad planes (r corners,
+    g, b, a) — the ray-major [N,16] -> plane transpose happens in XLA
+    between kernels (in-kernel column slices of a [R,16] array measured
+    15us EACH on v5e; the XLA transpose of the whole tile is ~20us).
+    w4: [4,sb,128] corner-weight planes (recomputed by the consumer from
+    state).  Returns tex color [4,sb,128]."""
+    qp = q16.astype(jnp.float32)
     return jnp.stack([qp[c * 4 + 0] * w4[0] + qp[c * 4 + 1] * w4[1]
                       + qp[c * 4 + 2] * w4[2] + qp[c * 4 + 3] * w4[3]
                       for c in range(4)])
@@ -1255,6 +1261,14 @@ def _mat_id(flags):
     return (flags & jnp.uint32(0x00FFFFFF)).astype(jnp.int32)
 
 
+def _tap_xla_like(pk: MegaPack, qidx):
+    """Reference-path tap: same gather + transpose as _tap_xla but for an
+    arbitrary plane shape; returns [16, sb, 128]."""
+    sb, l = qidx.shape
+    rows = pk.quad_rows[qidx.reshape(-1)]
+    return rows[:, :16].reshape(sb, l, 16).transpose(2, 0, 1)
+
+
 def sample_pass_ref(pk: MegaPack, xs, ys, rngx, rngy, depth: int,
                     integrator_type: int):
     """One full sample per ray, stages chained under plain XLA (the
@@ -1269,9 +1283,8 @@ def sample_pass_ref(pk: MegaPack, xs, ys, rngx, rngy, depth: int,
             tex = md['texc']
         else:
             qidx, w4 = stage_tap_prep(pk.tex_lane, md, st)
-            q = qidx.reshape(-1)
-            rows = pk.quad_rows[q]                      # [R,128] bf16 (XLA)
-            tex = tex_from_rows(rows[:, :16], w4)
+            qT = _tap_xla_like(pk, qidx)
+            tex = tex_from_rows(qT, w4)
         if integrator_type != INTEGRATOR_STUPID_PT:
             shade, rngx2, rngy2 = stage_nee(
                 pk.wx, pk.wy, pk.wz, pk.shade_t, pk.n_tris, pk.light_lane,
@@ -1389,7 +1402,7 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
                 su = refs[i][0]; i += 1
                 st = _unpack_state(sf, su)
             if take_tap:
-                rows = refs[i][:]; i += 1
+                q16 = refs[i][0]; i += 1
             n_in = i
             out = list(refs[n_in:])
 
@@ -1399,7 +1412,7 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
                     # recompute the corner weights from state — cheaper
                     # than shipping [N,16] weights across the boundary
                     _, w4 = stage_tap_prep(tex_lane, md, st)
-                    tex = tex_from_rows(rows[:, :16], w4)
+                    tex = tex_from_rows(q16, w4)
                 else:
                     tex = md['texc']
                 if integrator_type != INTEGRATOR_STUPID_PT:
@@ -1443,7 +1456,7 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
         else:
             in_specs += [bspec(SF_NROWS), bspec(SU_NROWS)]
         if take_tap:
-            in_specs += [rspec(128)]
+            in_specs += [bspec(16)]
 
         def out_for(n_rays):
             nb = n_rays // RBLK
@@ -1476,6 +1489,48 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
         )(*pk_args, *state_args)
 
     ks = {}
+    if not textured:
+        # const-texture scenes need no between-kernel taps: the ENTIRE
+        # sample (camera -> depth bounces -> env -> contribute) is ONE
+        # kernel — no per-bounce state round-trips through HBM
+        def whole_kernel(c_ref, wxr, wyr, wzr, shr, mlr, llr, xy_ref,
+                         su_ref, ocontrib, osu):
+            consts = c_ref
+            wx, wy, wz = wxr[:], wyr[:], wzr[:]
+            shade_t = shr[:]
+            mat_lane = mlr[:]
+            light_lane = llr[:]
+            xy = xy_ref[0]
+            su = su_ref[0]
+            st = stage_init(consts, xy[0], xy[1], su[SU_RNGX], su[SU_RNGY])
+            for b in range(n_bounce):
+                st = stage_trace(wx, wy, wz, shade_t, n_tris, st, b)
+                md = fetch_mat(mat_lane, _mat_id(st['flags']))
+                tex = md['texc']
+                if integrator_type != INTEGRATOR_STUPID_PT:
+                    shade, rngx2, rngy2 = stage_nee(
+                        wx, wy, wz, shade_t, n_tris, light_lane, consts,
+                        md, tex, st, b, integrator_type)
+                    st['rngx'] = rngx2
+                    st['rngy'] = rngy2
+                else:
+                    shade = jnp.zeros_like(st['accum'])
+                st = stage_next_bounce(md, tex, st, shade, b,
+                                       integrator_type, light_lane, consts)
+            contrib = stage_env_contribute(consts, st, integrator_type)
+            ocontrib[0] = contrib
+            osu[0] = jnp.stack([st['rngx'], st['rngy'], st['flags']])
+
+        whole_specs = [smem, full, full, full, full, full, full,
+                       bspec(2), bspec(SU_NROWS)]
+
+        def whole_out(n_rays):
+            nb = n_rays // RBLK
+            return ((jax.ShapeDtypeStruct((nb, 4, S, L), jnp.float32),
+                     jax.ShapeDtypeStruct((nb, SU_NROWS, S, L), jnp.uint32)),
+                    (bspec(4), bspec(SU_NROWS)))
+
+        ks['whole'] = (whole_kernel, whole_specs, whole_out)
     ks['first'] = make_kernel(None, 0, True, False)
     for b in range(1, n_bounce):
         ks[('mid', b)] = make_kernel(b - 1, b, False, False)
@@ -1485,8 +1540,13 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
 
 def _tap_xla(pk: MegaPack, qidx):
     """Between-kernel texture tap: ONE DMA row gather from the sliding
-    quad pool."""
-    return pk.quad_rows[qidx.reshape(-1)]                      # [N,128] bf16
+    quad pool + the ray-major -> plane transpose (cheap in XLA, ruinous
+    in-kernel).  Returns [NB, 16, S, L] bf16 quad planes."""
+    n = qidx.size
+    nb = n // RBLK
+    rows = pk.quad_rows[qidx.reshape(-1)]                      # [N,128] bf16
+    q16 = rows[:, :16]
+    return q16.reshape(nb, S, L, 16).transpose(0, 3, 1, 2)    # [NB,16,S,L]
 
 
 def sample_pass_pallas(pk: MegaPack, xy, sf_unused, su, depth: int,
@@ -1505,27 +1565,24 @@ def sample_pass_pallas(pk: MegaPack, xy, sf_unused, su, depth: int,
     n_bounce = depth + (1 if integrator_type == INTEGRATOR_STUPID_PT else 0)
     textured = not pk.tex_const
 
-    pk_args = base + ([pk.tex_lane] if textured else [])
+    if not textured:
+        contrib, su = call(ks['whole'],
+                           base + [pk.light_lane], [xy, su], n_rays)
+        return contrib, su
+
+    pk_args = base + [pk.tex_lane]
     r = call(ks['first'], pk_args, [xy, su], n_rays)
-    if textured:
-        sf, su, qidx = r
-        rows = _tap_xla(pk, qidx)
-    else:
-        sf, su = r
+    sf, su, qidx = r
+    rows = _tap_xla(pk, qidx)
 
     for b in range(1, n_bounce):
-        pk_args = base + ([pk.tex_lane] if textured else []) + [pk.light_lane]
-        state_args = [sf, su] + ([rows] if textured else [])
-        r = call(ks[('mid', b)], pk_args, state_args, n_rays)
-        if textured:
-            sf, su, qidx = r
-            rows = _tap_xla(pk, qidx)
-        else:
-            sf, su = r
+        pk_args = base + [pk.tex_lane, pk.light_lane]
+        r = call(ks[('mid', b)], pk_args, [sf, su, rows], n_rays)
+        sf, su, qidx = r
+        rows = _tap_xla(pk, qidx)
 
-    pk_args = base + ([pk.tex_lane] if textured else []) + [pk.light_lane]
-    state_args = [sf, su] + ([rows] if textured else [])
-    contrib, su = call(ks['last'], pk_args, state_args, n_rays)
+    pk_args = base + [pk.tex_lane, pk.light_lane]
+    contrib, su = call(ks['last'], pk_args, [sf, su, rows], n_rays)
     return contrib, su
 
 
@@ -1534,6 +1591,7 @@ def sample_pass_pallas(pk: MegaPack, xy, sf_unused, su, depth: int,
 # ===========================================================================
 
 _PACK_CACHE: dict = {}
+_SETUP_CACHE: dict = {}
 
 
 def get_pack(scene: Scene, meta: SceneMeta) -> MegaPack:
@@ -1566,7 +1624,7 @@ def _render_chunk(pk: MegaPack, xy, su, depth: int, integrator_type: int,
 
 def render(scene: Scene, meta: SceneMeta, spp: int = None,
            integrator: str = 'mispt', channels: int = 4,
-           tile_size: int = 1 << 17, k_samples: int = 8,
+           tile_size: int = 1 << 17, k_samples: int = 16,
            progress: bool = False, return_timing: bool = False):
     """Full-frame render through the Pallas megakernel pipeline.
 
@@ -1585,29 +1643,43 @@ def render(scene: Scene, meta: SceneMeta, spp: int = None,
     interpret = jax.default_backend() != 'tpu'
     pk = get_pack(scene, meta)
 
-    tile = max(RBLK, min(tile_size, 1 << 17))
-    n_tiles = -(-N // tile)
+    tile = max(RBLK, min(max(tile_size, 1 << 20), 1 << 20))
+    Np = -(-N // RBLK) * RBLK
+    tile = min(tile, Np)
+    n_tiles = -(-Np // tile)
     k = max(1, min(k_samples, spp))
 
     t0 = _time.time()
-    fb_parts = []
-    su_tiles = []
-    xy_tiles = []
-    for t in range(n_tiles):
-        ids = np.arange(t * tile, (t + 1) * tile, dtype=np.int64)
-        ids_c = np.minimum(ids, N - 1).astype(np.int32)
+    # ONE cached setup per (frame size, tiling): pixel coords and the
+    # per-pixel RNG seeds are pure functions of the pixel grid (repeated
+    # gen_init dispatches + host transposes were ~15% of bench wall time)
+    key = (W, H, tile, n_tiles)
+    hit = _SETUP_CACHE.get(key)
+    if hit is None:
+        ids = np.minimum(np.arange(n_tiles * tile, dtype=np.int64), N - 1)
+        ids = ids.astype(np.int32)
+        xy_all = np.stack([(ids % W).astype(np.float32),
+                           (ids // W).astype(np.float32)])
+        rng0 = np.asarray(RNG.gen_init(jnp.asarray(ids)))
+        su_all = np.zeros((3, n_tiles * tile), np.uint32)
+        su_all[0] = rng0[:, 0]
+        su_all[1] = rng0[:, 1]
         NBt = tile // RBLK
-        xy = np.stack([(ids_c % W).astype(np.float32),
-                       (ids_c // W).astype(np.float32)])
-        xy_tiles.append(jnp.asarray(
-            xy.reshape(2, NBt, S, L).transpose(1, 0, 2, 3)))
-        rng0 = np.asarray(RNG.gen_init(ids_c))
-        su = np.zeros((3, tile), np.uint32)
-        su[0] = rng0[:, 0]
-        su[1] = rng0[:, 1]
-        su_tiles.append(jnp.asarray(
-            su.reshape(3, NBt, S, L).transpose(1, 0, 2, 3)))
-        fb_parts.append(None)
+        xy_t = tuple(jnp.asarray(
+            xy_all[:, t * tile:(t + 1) * tile]
+            .reshape(2, NBt, S, L).transpose(1, 0, 2, 3))
+            for t in range(n_tiles))
+        su_t = tuple(jnp.asarray(
+            su_all[:, t * tile:(t + 1) * tile]
+            .reshape(3, NBt, S, L).transpose(1, 0, 2, 3))
+            for t in range(n_tiles))
+        if len(_SETUP_CACHE) > 8:
+            _SETUP_CACHE.clear()
+        _SETUP_CACHE[key] = (xy_t, su_t)
+        hit = (xy_t, su_t)
+    xy_tiles = list(hit[0])
+    su_tiles = list(hit[1])
+    fb_parts = [None] * n_tiles
 
     done = 0
     while done < spp:
@@ -1623,13 +1695,11 @@ def render(scene: Scene, meta: SceneMeta, spp: int = None,
                   end='\r')
     if progress:
         print()
-    out = np.zeros((N, 4), np.float32)
-    for t in range(n_tiles):
-        part = np.asarray(fb_parts[t])           # [NB,4,S,L]
-        flat = part.transpose(1, 0, 2, 3).reshape(4, -1).T
-        lo = t * tile
-        hi = min(lo + tile, N)
-        out[lo:hi] += flat[:hi - lo]
+    # device-side flatten + ONE transfer (per-tile pulls through the device
+    # relay dominated otherwise)
+    flat = jnp.concatenate([p.transpose(1, 0, 2, 3).reshape(4, -1)
+                            for p in fb_parts], axis=1)
+    out = np.asarray(flat).T[:N]
     total = _time.time() - t0
     img = (out / float(spp)).reshape(H, W, 4)[..., :channels]
     if return_timing:
