@@ -42,7 +42,8 @@ import numpy as np
 
 from ..scene.build import (
     Scene, SceneMeta,
-    MAT_TYPE_GLTF, MAT_TYPE_DIFFUSE, MAT_TYPE_LIGHT_SOURCE, MTYPE_SMALL_LIGHT,
+    MAT_TYPE_GLTF, MAT_TYPE_DIFFUSE, MAT_TYPE_CONDUCTOR,
+    MAT_TYPE_LIGHT_SOURCE, MTYPE_SMALL_LIGHT,
     GLTF_COLOR_BASE, GLTF_COLOR_COAT, GLTF_COLOR_METAL, EMISSION_COLOR,
     DIFFUSE_COLOR,
     GLTF_FLOAT_MI_FDR_INT, GLTF_FLOAT_ALPHA, GLTF_FLOAT_GLOSINESS,
@@ -484,7 +485,8 @@ def supported(scene: Scene, meta: SceneMeta) -> bool:
         return False
     if meta.trace_depth > 12:
         return False
-    allowed = {MAT_TYPE_GLTF, MAT_TYPE_DIFFUSE, MAT_TYPE_LIGHT_SOURCE}
+    allowed = {MAT_TYPE_GLTF, MAT_TYPE_DIFFUSE, MAT_TYPE_CONDUCTOR,
+               MAT_TYPE_LIGHT_SOURCE}
     if not set(meta.mat_types_present) <= allowed:
         return False
     gt = np.asarray(scene.light_geom_type)
@@ -983,11 +985,16 @@ def mat_eval(md, tex_color, l, v, n):
     d_val = d_scal * base4
     d_pdf = lam_pdf
 
+    # ---- conductorRoughEval (cmat_conductor.h:105-137) -------------------
+    c_val, c_pdf = conductor_eval(md, tex_color, l, v, n)
+
     is_gltf = mtype == float(MAT_TYPE_GLTF)
-    val = jnp.where(is_gltf, g_val, jnp.where(mtype == float(MAT_TYPE_DIFFUSE),
-                                              d_val, 0.0))
-    pdf = jnp.where(is_gltf, g_pdf, jnp.where(mtype == float(MAT_TYPE_DIFFUSE),
-                                              d_pdf, 0.0))
+    is_diff = mtype == float(MAT_TYPE_DIFFUSE)
+    is_cond = mtype == float(MAT_TYPE_CONDUCTOR)
+    val = jnp.where(is_gltf, g_val, jnp.where(is_diff, d_val,
+                    jnp.where(is_cond, c_val, 0.0)))
+    pdf = jnp.where(is_gltf, g_pdf, jnp.where(is_diff, d_pdf,
+                    jnp.where(is_cond, c_pdf, 0.0)))
     return val, pdf
 
 
@@ -1050,16 +1057,211 @@ def mat_sample(md, tex_color, rands, v, n):
     d_val = d_scal * base4
     d_flags = jnp.full(lam_pdf.shape, C.RAY_FLAG_HAS_NON_SPEC, jnp.uint32)
 
+    # conductor (cmat_conductor.h:7-103)
+    cs = conductor_sample(md, tex_color, rands[0], rands[1], v, n)
+
     is_gltf = mtype == float(MAT_TYPE_GLTF)
     is_diff = mtype == float(MAT_TYPE_DIFFUSE)
+    is_cond = mtype == float(MAT_TYPE_CONDUCTOR)
     up = jnp.stack([jnp.zeros_like(lam_pdf), jnp.ones_like(lam_pdf),
                     jnp.zeros_like(lam_pdf)])
-    out_dir = jnp.where(is_gltf, g_dir, jnp.where(is_diff, lam_dir, up))
-    out_val = jnp.where(is_gltf, g_val, jnp.where(is_diff, d_val, 0.0))
-    out_pdf = jnp.where(is_gltf, g_pdf, jnp.where(is_diff, lam_pdf, 1.0))
+    out_dir = jnp.where(is_gltf, g_dir, jnp.where(is_diff, lam_dir,
+                        jnp.where(is_cond, cs['dir'], up)))
+    out_val = jnp.where(is_gltf, g_val, jnp.where(is_diff, d_val,
+                        jnp.where(is_cond, cs['val'], 0.0)))
+    out_pdf = jnp.where(is_gltf, g_pdf, jnp.where(is_diff, lam_pdf,
+                        jnp.where(is_cond, cs['pdf'], 1.0)))
     out_flags = jnp.where(is_gltf, g_flags, jnp.where(is_diff, d_flags,
-                                                      jnp.uint32(0)))
+                          jnp.where(is_cond, cs['flags'], jnp.uint32(0))))
     return dict(val=out_val, dir=out_dir, pdf=out_pdf, flags=out_flags)
+
+
+# ---------------------------------------------------------------------------
+# Conductor (include/cmat_conductor.h) — Trowbridge-Reitz + complex Fresnel
+# in plane form. Local-frame vectors are [3,S,L] stacks.
+# ---------------------------------------------------------------------------
+
+def _abscos_l(w):
+    return jnp.abs(w[2])
+
+
+def _sin2_l(w):
+    return jnp.maximum(0.0, 1.0 - w[2] * w[2])
+
+
+def _tan2_l(w):
+    return _sin2_l(w) / jnp.maximum(w[2] * w[2], 1e-20)
+
+
+def _cossin_phi_l(w):
+    st = safe_sqrt(_sin2_l(w))
+    cp = jnp.where(st == 0.0, 1.0, jnp.clip(w[0] / jnp.where(st == 0.0, 1.0, st), -1, 1))
+    sp = jnp.where(st == 0.0, 0.0, jnp.clip(w[1] / jnp.where(st == 0.0, 1.0, st), -1, 1))
+    return cp, sp
+
+
+def tr_d_p(wm, a0, a1):
+    """trD (cmaterial.h:460-470)."""
+    tan2 = _sin2_l(wm) / (wm[2] * wm[2])      # inf when cos == 0
+    cos4 = (wm[2] * wm[2]) ** 2
+    cp, sp = _cossin_phi_l(wm)
+    e = tan2 * ((cp / a0) ** 2 + (sp / a1) ** 2)
+    val = 1.0 / (M_PI * a0 * a1 * cos4 * (1 + e) * (1 + e))
+    return jnp.where((cos4 < 1e-16) | ~jnp.isfinite(tan2), 0.0, val)
+
+
+def tr_lambda_p(w, a0, a1):
+    tan2 = _tan2_l(w)
+    cp, sp = _cossin_phi_l(w)
+    a2 = (cp * a0) ** 2 + (sp * a1) ** 2
+    val = (safe_sqrt(1.0 + a2 * tan2) - 1.0) / 2.0
+    return jnp.where(jnp.isfinite(tan2), val, 0.0)
+
+
+def tr_g1_p(w, a0, a1):
+    return 1.0 / (1.0 + tr_lambda_p(w, a0, a1))
+
+
+def tr_g_p(wo, wi, a0, a1):
+    return 1.0 / (1.0 + tr_lambda_p(wo, a0, a1) + tr_lambda_p(wi, a0, a1))
+
+
+def tr_pdf_p(w, wm, a0, a1):
+    return (tr_g1_p(w, a0, a1) / jnp.maximum(_abscos_l(w), 1e-20)
+            * tr_d_p(wm, a0, a1) * jnp.abs(dot3(w, wm)))
+
+
+def tr_sample_p(wo, r0, r1, a0, a1):
+    """trSample VNDF (cmaterial.h:506-530) on local-frame planes."""
+    wh = normalize3(jnp.stack([a0 * wo[0], a1 * wo[1], wo[2]]))
+    wh = jnp.where(wh[2] < 0.0, -wh, wh)
+    # t1 = normalize(cross(z, wh)) unless wh ~ z
+    t1 = jnp.stack([-wh[1], wh[0], jnp.zeros_like(wh[0])])
+    t1n = normalize3(t1)
+    near_z = wh[2] >= 0.99999
+    t1 = jnp.stack([jnp.where(near_z, 1.0, t1n[0]),
+                    jnp.where(near_z, 0.0, t1n[1]),
+                    jnp.zeros_like(wh[0])])
+    t2 = cross3(wh, t1)
+    pr = safe_sqrt(r0)
+    th = M_TWOPI * r1
+    px = pr * jnp.cos(th)
+    py0 = pr * jnp.sin(th)
+    h = safe_sqrt(1.0 - px * px)
+    py = lerp(h, py0, (1.0 + wh[2]) / 2.0)
+    pz = safe_sqrt(jnp.maximum(0.0, 1.0 - px * px - py * py))
+    nh = t1 * px + t2 * py + wh * pz
+    return normalize3(jnp.stack([a0 * nh[0], a1 * nh[1],
+                                 jnp.maximum(1e-6, nh[2])]))
+
+
+def fr_complex_cond(cos_i, eta, k):
+    """FrComplexConductor (cmaterial.h:685-694) in real arithmetic
+    (Mosaic has no complex dtype). eta_c = eta + i*k."""
+    def cdiv(ar, ai, br, bi):
+        d = br * br + bi * bi
+        d = jnp.where(d == 0.0, 1e-30, d)
+        return (ar * br + ai * bi) / d, (ai * br - ar * bi) / d
+
+    def csqrt(xr, xi):
+        m = jnp.sqrt(xr * xr + xi * xi)
+        u = jnp.sqrt(jnp.maximum((m + xr) * 0.5, 0.0))
+        v = jnp.sqrt(jnp.maximum((m - xr) * 0.5, 0.0))
+        return u, jnp.where(xi < 0.0, -v, v)
+
+    sin2 = 1.0 - cos_i * cos_i
+    e2r = eta * eta - k * k
+    e2i = 2.0 * eta * k
+    str_, sti = cdiv(sin2, jnp.zeros_like(sin2), e2r, e2i)   # sin2 / eta_c^2
+    ctr, cti = csqrt(1.0 - str_, -sti)
+    ecr = eta * cos_i
+    eci = k * cos_i
+    pr_r, pr_i = cdiv(ecr - ctr, eci - cti, ecr + ctr, eci + cti)
+    sr_r, sr_i = cdiv(cos_i - (eta * ctr - k * cti),
+                      -(eta * cti + k * ctr),
+                      cos_i + (eta * ctr - k * cti),
+                      (eta * cti + k * ctr))
+    return 0.5 * (pr_r * pr_r + pr_i * pr_i + sr_r * sr_r + sr_i * sr_i)
+
+
+def _local_frame(v, n):
+    nx, ny = coordinate_system_v2(n)
+    return nx, ny, n
+
+
+def _to_local(vv, nx, ny, nz):
+    return jnp.stack([dot3(vv, nx), dot3(vv, ny), dot3(vv, nz)])
+
+
+def conductor_sample(md, tex_color, r0, r1, v, n):
+    """conductorSmooth/RoughSampleAndEval (cmat_conductor.h:7-103)."""
+    refl = md['c0']                         # CONDUCTOR_COLOR slot
+    eta = md['data'][2]
+    kk = md['data'][3]
+    a0 = jnp.minimum(md['data'][0], tex_color[0])
+    a1 = jnp.minimum(md['data'][1], tex_color[1])
+    smooth = jnp.maximum(md['data'][1], md['data'][0]) < 1e-3
+
+    perf = reflect3(-v, n)
+    cos_out = dot3(perf, n)
+    fr_s = fr_complex_cond(jnp.clip(cos_out, -1.0, 1.0), eta, kk)
+    sm_val = jnp.where(cos_out <= 1e-6, 0.0, fr_s / jnp.maximum(cos_out, 1e-6))
+    sm_val4 = sm_val * refl
+
+    nx, ny, nz = _local_frame(v, n)
+    wo = _to_local(v, nx, ny, nz)
+    wm = tr_sample_p(wo, r0, r1, a0, a1)
+    wi = reflect3(-wo, wm)
+    same = wo[2] * wi[2] >= 0.0
+    cos_o = _abscos_l(wo)
+    cos_i = _abscos_l(wi)
+    fr_m = fr_complex_cond(jnp.clip(jnp.abs(dot3(wo, wm)), -1.0, 1.0), eta, kk)
+    d = tr_d_p(wm, a0, a1)
+    g = tr_g_p(wo, wi, a0, a1)
+    rough_val = fr_m * d * g / jnp.maximum(4.0 * cos_i * cos_o, 1e-20)
+    bad = ~same | (cos_i == 0.0) | (cos_o == 0.0) | (wo[2] == 0.0)
+    rough_val = jnp.where(bad, 0.0, rough_val)
+    rough_val4 = rough_val * refl
+    rough_dir = normalize3(nx * wi[0] + ny * wi[1] + nz * wi[2])
+    rough_pdf = tr_pdf_p(wo, wm, a0, a1) / jnp.maximum(4.0 * jnp.abs(dot3(wo, wm)), 1e-20)
+    rough_pdf = jnp.where(bad, 1.0, rough_pdf)
+    up = jnp.stack([jnp.zeros_like(cos_o), jnp.ones_like(cos_o),
+                    jnp.zeros_like(cos_o)])
+    rough_dir = jnp.where(bad, up, rough_dir)
+
+    val = jnp.where(smooth, sm_val4, rough_val4)
+    out_dir = jnp.where(smooth, perf, rough_dir)
+    pdf = jnp.where(smooth, 1.0, rough_pdf)
+    flags = jnp.where(smooth, jnp.uint32(C.RAY_EVENT_S),
+                      jnp.uint32(C.RAY_FLAG_HAS_NON_SPEC))
+    return dict(val=val, dir=out_dir, pdf=pdf, flags=flags)
+
+
+def conductor_eval(md, tex_color, l, v, n):
+    """conductorRoughEval (cmat_conductor.h:105-137); smooth -> zero."""
+    refl = md['c0']
+    eta = md['data'][2]
+    kk = md['data'][3]
+    a0 = jnp.minimum(md['data'][0], tex_color[0])
+    a1 = jnp.minimum(md['data'][1], tex_color[1])
+    smooth = jnp.maximum(md['data'][1], md['data'][0]) < 1e-3
+    nx, ny, nz = _local_frame(v, n)
+    wo = _to_local(v, nx, ny, nz)
+    wi = _to_local(l, nx, ny, nz)
+    same = wo[2] * wi[2] >= 0.0
+    wm0 = wo + wi
+    wm_ok = dot3(wm0, wm0) > 0.0
+    wm = normalize3(wm0)
+    cos_o = _abscos_l(wo)
+    cos_i = _abscos_l(wi)
+    fr_m = fr_complex_cond(jnp.clip(jnp.abs(dot3(wo, wm)), -1.0, 1.0), eta, kk)
+    d = tr_d_p(wm, a0, a1)
+    g = tr_g_p(wo, wi, a0, a1)
+    val = fr_m * d * g / jnp.maximum(4.0 * cos_i * cos_o, 1e-20)
+    wm_ff = jnp.where(wm[2] < 0.0, -wm, wm)
+    pdf = tr_pdf_p(wo, wm_ff, a0, a1) / jnp.maximum(4.0 * jnp.abs(dot3(wo, wm_ff)), 1e-20)
+    bad = smooth | ~same | ~wm_ok | (cos_i == 0.0) | (cos_o == 0.0)
+    return jnp.where(bad, 0.0, val) * refl, jnp.where(bad, 0.0, pdf)
 
 
 # ===========================================================================

@@ -154,3 +154,40 @@ def test_whole_kernel_const_tex(cornell):
     a = np.asarray(c_pl).transpose(1, 0, 2, 3).reshape(4, -1)
     b = np.asarray(c_rf).reshape(4, -1)
     np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_conductor_matches_integrator(cornell):
+    """Rough + smooth conductor through the megakernel vs the XLA path
+    (cmat_conductor.h port in plane form, incl. the real-arithmetic
+    complex Fresnel)."""
+    import dataclasses
+    scene, meta, _ = cornell
+    pf = np.asarray(scene.mat_packed_f32).copy()
+    pi = np.asarray(scene.mat_packed_i32).copy()
+    from hydracore3_tpu.scene.build import MAT_TYPE_CONDUCTOR
+    # mat 2 -> rough conductor, mat 3 -> smooth mirror conductor
+    for mid, rough in ((2, 0.3), (3, 0.0)):
+        pi[mid, 0] = MAT_TYPE_CONDUCTOR
+        pf[mid, 64] = float(MAT_TYPE_CONDUCTOR)
+        pf[mid, 48 + 0] = rough           # ROUGH_U
+        pf[mid, 48 + 1] = rough           # ROUGH_V
+        pf[mid, 48 + 2] = 1.5             # ETA
+        pf[mid, 48 + 3] = 2.0             # K
+        pf[mid, 0:4] = (0.9, 0.8, 0.7, 0.0)  # CONDUCTOR_COLOR
+        pi[mid, 8:12] = -1                # no SPDs
+        pf[mid, 72:76] = -1.0
+    scene2 = dataclasses.replace(scene,
+                                 mat_packed_f32=jnp.asarray(pf),
+                                 mat_packed_i32=jnp.asarray(pi))
+    meta2 = dataclasses.replace(
+        meta, mat_types_present=tuple(sorted(set(meta.mat_types_present)
+                                             | {MAT_TYPE_CONDUCTOR})))
+    assert MK.supported(scene2, meta2)
+    img_mk = MK.render(scene2, meta2, spp=4, integrator='mispt')
+    os.environ['HYDRA_MEGAKERNEL'] = '0'
+    try:
+        img_ref = R.render(scene2, meta2, spp=4, integrator='mispt')
+    finally:
+        os.environ.pop('HYDRA_MEGAKERNEL', None)
+    psnr = _psnr(img_mk[..., :3], img_ref[..., :3])
+    assert psnr > 45.0, psnr
