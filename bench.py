@@ -28,14 +28,21 @@ def main():
     scene, meta = SB.load_scene(CORNELL, width=width, height=height)
 
     tile = 1 << 15  # XLA path: VMEM-resident intermediates (see render.py)
+    # regeneration mode (megakernel persistent samples): dead lanes re-init
+    # the pixel's next sample immediately, so throughput counts ACTUAL
+    # completed camera samples (reported by return_timing['samples'])
+    regen = os.environ.get('BENCH_REGEN', '1') != '0'
     # warmup + compile with the SAME executables as the timed run (the
     # megakernel path unrolls k=16 samples per dispatch: spp=16 warms it)
-    R.render(scene, meta, spp=16, integrator='mispt', tile_size=tile)
+    R.render(scene, meta, spp=16, integrator='mispt', tile_size=tile,
+             regen=regen)
 
     t0 = time.time()
-    img = R.render(scene, meta, spp=spp, integrator='mispt', tile_size=tile)
+    out = R.render(scene, meta, spp=spp, integrator='mispt', tile_size=tile,
+                   regen=regen, return_timing=True)
     dt = time.time() - t0
-    samples = width * height * spp
+    img, timing = out if isinstance(out, tuple) else (out, {})
+    samples = timing.get('samples', width * height * spp)
     msamples_s = samples / dt / 1e6
 
     # direct ray-count instrumentation (BASELINE.md:20): rays actually

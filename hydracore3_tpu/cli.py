@@ -27,6 +27,9 @@ def build_parser():
     p.add_argument('-fb_layer', default='color',
                    choices=['color', 'direct', 'indirect', 'direct_indirect'])
     p.add_argument('--spectral', action='store_true')
+    p.add_argument('--regen', action='store_true',
+                   help='persistent-samples megakernel: lanes re-init dead '
+                        'paths immediately (mean-spp normalization)')
     p.add_argument('--qmc', action='store_true')
     p.add_argument('--cpu', action='store_true')
     p.add_argument('--gpu', action='store_true')   # accepted for CLI parity
@@ -194,10 +197,12 @@ def main(argv=None):
                                        progress=True, return_timing=True,
                                        checkpoint_path=args.checkpoint or None,
                                        checkpoint_every=args.checkpoint_every,
-                                       resume=args.resume)
+                                       resume=args.resume, regen=args.regen)
             if args.profile:
                 print(f'[main]: jax.profiler trace written to {args.profile}')
-        ms = (timing['total_s'] - timing['compile_s']) * 1000.0
+        # megakernel-path timing has no compile split (compile happens at
+        # warmup inside render); treat it as zero
+        ms = (timing['total_s'] - timing.get('compile_s', 0.0)) * 1000.0
         # keep the reference's timing line format so run_bench-style regexes work
         tag = {'naivept': 'naivept', 'shadowpt': 'shadowpt',
                'mispt': 'mispt'}.get(integ, integ)

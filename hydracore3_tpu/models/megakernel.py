@@ -680,9 +680,12 @@ def _has_non_spec(flags):
     return (flags & jnp.uint32(C.RAY_FLAG_HAS_NON_SPEC)) != 0
 
 
-def stage_init(consts, xs, ys, rngx, rngy):
-    """kernel_InitEyeRay2 (integrator_pt.cpp:129-157) minus DoF/spectral."""
-    rngx, rngy, r4 = rnd_float4(rngx, rngy)
+def stage_init(consts, xs, ys, rngx, rngy, mask=None):
+    """kernel_InitEyeRay2 (integrator_pt.cpp:129-157) minus DoF/spectral.
+
+    mask: optional liveness plane — only masked lanes advance their RNG
+    (the regeneration pipeline re-inits individual lanes mid-flight)."""
+    rngx, rngy, r4 = rnd_float4(rngx, rngy, mask)
     width = consts[CN_WIDTH]
     height = consts[CN_HEIGHT]
     fx = xs + r4[0]
@@ -811,10 +814,15 @@ def _trace_blocks(pk_wx, pk_wy, pk_wz, shade_t, n_tris, o, d, tmin, tmax,
             best_sh)
 
 
-def stage_trace(pk_wx, pk_wy, pk_wz, shade_t, n_tris, st, bounce: int):
+def stage_trace(pk_wx, pk_wy, pk_wz, shade_t, n_tris, st, bounce,
+                prim=None):
     """kernel_RayTrace2 (integrator_pt.cpp:214-348): nearest hit + baked
     shade-row lerp + normal flip + flag packing.  Returns (st, uv, texid
-    not included — texid is fetched by the caller from the mat table)."""
+    not included — texid is fetched by the caller from the mat table).
+
+    bounce: static int in the per-bounce chain; None in regeneration mode,
+    where `prim` (bool plane: lane is tracing its camera ray) replaces the
+    bounce==0 test for the PRIME_RAY_MISS flag."""
     shp = st['o'].shape[1:]
     live = ~_is_dead(st['flags'])
     tmin = jnp.zeros(shp, jnp.float32)
@@ -838,9 +846,18 @@ def stage_trace(pk_wx, pk_wy, pk_wz, shade_t, n_tris, st, bounce: int):
     flags = jnp.where(flip < 0.0, flags | inv_flag, flags & ~inv_flag)
     flags_hit = ((flags & jnp.uint32(0xFF000000))
                  | (mid.astype(jnp.uint32) & jnp.uint32(0x00FFFFFF)))
-    miss_add = jnp.uint32(C.RAY_FLAG_IS_DEAD | C.RAY_FLAG_OUT_OF_SCENE
-                          | (C.RAY_FLAG_PRIME_RAY_MISS if bounce == 0 else 0))
-    flags_miss = st['flags'] | miss_add
+    if prim is None:
+        miss_add = jnp.uint32(C.RAY_FLAG_IS_DEAD | C.RAY_FLAG_OUT_OF_SCENE
+                              | (C.RAY_FLAG_PRIME_RAY_MISS if bounce == 0
+                                 else 0))
+        flags_miss = st['flags'] | miss_add
+    else:
+        flags_miss = (st['flags']
+                      | jnp.uint32(C.RAY_FLAG_IS_DEAD
+                                   | C.RAY_FLAG_OUT_OF_SCENE)
+                      | jnp.where(prim,
+                                  jnp.uint32(C.RAY_FLAG_PRIME_RAY_MISS),
+                                  jnp.uint32(0)))
     new_flags = jnp.where(live, jnp.where(found, flags_hit, flags_miss),
                           st['flags'])
     keep = ~live | ~found
@@ -1323,12 +1340,15 @@ def light_intensity(ld):
 # ===========================================================================
 
 def stage_nee(pk_wx, pk_wy, pk_wz, shade_t, n_tris, light_lane, consts,
-              md, tex_color, st, bounce: int, integrator_type: int):
+              md, tex_color, st, bounce, integrator_type: int,
+              active=None):
     """kernel_SampleLightSource (integrator_pt.cpp:350-424).
 
+    active: optional shade mask replacing the liveness test (regeneration
+    mode excludes freshly re-inited lanes that have no hit yet).
     Returns (shade_color [4,S,L], rngx, rngy)."""
     shp = st['flags'].shape
-    live = ~_is_dead(st['flags'])
+    live = ~_is_dead(st['flags']) if active is None else active
     rngx, rngy, rnd_id = rnd_float1(st['rngx'], st['rngy'], live)
     rngx, rngy, r4 = rnd_float4(rngx, rngy, live)
     num_lights = consts[CN_NUM_LIGHTS]
@@ -1371,11 +1391,15 @@ def stage_nee(pk_wx, pk_wy, pk_wz, shade_t, n_tris, light_lane, consts,
     return shade, rngx, rngy
 
 
-def stage_next_bounce(md, tex_color, st, shade_color, bounce: int,
-                      integrator_type: int, light_lane, consts):
-    """kernel_NextBounce (integrator_pt.cpp:426-548)."""
+def stage_next_bounce(md, tex_color, st, shade_color, bounce,
+                      integrator_type: int, light_lane, consts,
+                      active=None, prim=None):
+    """kernel_NextBounce (integrator_pt.cpp:426-548).
+
+    bounce: static int, or None in regeneration mode where `prim` (bool
+    plane) marks lanes shading their camera hit (no emissive MIS)."""
     shp = st['flags'].shape
-    live = ~_is_dead(st['flags'])
+    live = ~_is_dead(st['flags']) if active is None else active
     is_light_mat = md['mtype'] == float(MTYPE_SMALL_LIGHT)
 
     # ---- light-hit branch (integrator_pt.cpp:461-506) --------------------
@@ -1390,12 +1414,16 @@ def stage_next_bounce(md, tex_color, st, shade_color, bounce: int,
     light_int = jnp.where(has_light, li_from_light, emiss)
 
     mis_weight_l = jnp.ones(shp, jnp.float32)
-    if integrator_type == INTEGRATOR_MIS_PT and bounce > 0:
+    if integrator_type == INTEGRATOR_MIS_PT and (bounce is None or bounce > 0):
         num_lights = consts[CN_NUM_LIGHTS]
         lgt_pdf = (1.0 / jnp.maximum(num_lights, 1.0)) * light_eval_pdf(
             ldh, st['o'], st['d'], st['hit_pos'], st['hit_norm'])
         w = mis_weight(st['mis_pdf'], lgt_pdf)
         w = jnp.where(st['mis_pdf'] <= 0.0, 1.0, w)
+        if bounce is None:
+            # regeneration mode: camera-ray hits take the light intensity
+            # unweighted (the fixed chain's bounce==0 branch)
+            w = jnp.where(prim, 1.0, w)
         mis_weight_l = jnp.where(has_light, w, 1.0)
     elif integrator_type == INTEGRATOR_SHADOW_PT:
         mis_weight_l = jnp.where(_has_non_spec(st['flags']), 0.0, 1.0)
@@ -1545,6 +1573,29 @@ def _pack_state(st):
         st['hit_dist'][None], st['hit_lgt'][None]], axis=0)
     su = jnp.stack([st['rngx'], st['rngy'], st['flags']])
     return sf, su
+
+
+# regeneration-mode state extension: a per-lane accumulator of COMPLETED
+# samples + completed-sample count + per-sample bounce counter.  When a path
+# dies (light hit / out of scene / depth truncation) the lane flushes the
+# sample into the accumulator and immediately re-inits the NEXT sample of
+# the same pixel — lane-iterations per sample drop from `depth` to the
+# expected path length (the reference has no equivalent: its megakernel
+# runs dead threads to the loop end, integrator_pt.cpp:719-758).
+RF_ACC = SF_NROWS      # 4 rows f32: sum of completed-sample contributions
+RF_NROWS = SF_NROWS + 4
+RU_NDONE = SU_NROWS        # completed-sample count
+RU_BCNT = SU_NROWS + 1     # bounces shaded for the in-flight sample
+RU_NROWS = SU_NROWS + 2
+
+
+def _merge_state(cond, a, b):
+    """Lane-wise state select: cond ? a : b.  RNG comes from `a`
+    unconditionally (masked draws already leave unmasked lanes intact)."""
+    out = {}
+    for k in b:
+        out[k] = a[k] if k in ('rngx', 'rngy') else jnp.where(cond, a[k], b[k])
+    return out
 
 
 @functools.lru_cache(maxsize=64)
@@ -1740,6 +1791,194 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
     return ks, call
 
 
+def _build_regen_kernels(depth: int, integrator_type: int, textured: bool,
+                         n_blocks: int, n_tris: int, n_quad_rows: int,
+                         interpret: bool):
+    """Regeneration-mode kernels (persistent samples, VERDICT item: deep-
+    bounce occupancy).  Two kernels:
+
+    * rfirst: init every lane's first sample + trace + tap emit.
+    * rmid (iterated): flush entry-dead lanes (trace misses) into the lane
+      accumulator and re-init them; shade everyone else (NEE + next bounce);
+      flush shade-deaths (light hits, depth truncation) and re-init those;
+      trace all lanes; emit the next tap.
+
+    Every lane is live at every trace — dead-lane waste (1.6x at depth 5 on
+    the Cornell occupancy profile, docs/PERF_NOTES.md) disappears, at the
+    price of a per-pixel variable sample count (normalized at finalize)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NB = n_blocks
+    n_bounce = depth + (1 if integrator_type == INTEGRATOR_STUPID_PT else 0)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def bspec(k):
+        return pl.BlockSpec((1, k, S, L), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def unpack_r(sf, su):
+        st = _unpack_state(sf, su)
+        return st, sf[RF_ACC:RF_ACC + 4], su[RU_NDONE], su[RU_BCNT]
+
+    def pack_r(st, lane_acc, ndone, bcnt):
+        sf, su = _pack_state(st)
+        return (jnp.concatenate([sf, lane_acc], axis=0),
+                jnp.concatenate([su, ndone[None], bcnt[None]], axis=0))
+
+    def emit_tap(out, slot, tex_lane, mat_lane, st):
+        md2 = fetch_mat(mat_lane, _mat_id(st['flags']))
+        qidx, _ = stage_tap_prep(tex_lane, md2, st)
+        live = ~_is_dead(st['flags'])
+        out[slot][0, 0] = jnp.where(live, jnp.clip(qidx, 0, n_quad_rows - 1),
+                                    0)
+
+    def make_rfirst():
+        def kernel(*refs):
+            i = 0
+            consts = refs[i]; i += 1
+            wx = refs[i][:]; i += 1
+            wy = refs[i][:]; i += 1
+            wz = refs[i][:]; i += 1
+            shade_t = refs[i][:]; i += 1
+            mat_lane = refs[i][:]; i += 1
+            tex_lane = refs[i][:] if textured else None
+            if textured:
+                i += 1
+            xy = refs[i][0]; i += 1
+            su = refs[i][0]; i += 1
+            out = list(refs[i:])
+            st = stage_init(consts, xy[0], xy[1], su[SU_RNGX], su[SU_RNGY])
+            st = stage_trace(wx, wy, wz, shade_t, n_tris, st, 0)
+            zero_u = jnp.zeros(st['flags'].shape, jnp.uint32)
+            sf2, su2 = pack_r(st, jnp.zeros_like(st['accum']), zero_u, zero_u)
+            out[0][0] = sf2
+            out[1][0] = su2
+            if textured:
+                emit_tap(out, 2, tex_lane, mat_lane, st)
+
+        in_specs = [smem, full, full, full, full, full]
+        if textured:
+            in_specs.append(full)
+        in_specs += [bspec(2), bspec(SU_NROWS)]
+        return kernel, in_specs
+
+    def make_rmid():
+        def kernel(*refs):
+            i = 0
+            consts = refs[i]; i += 1
+            wx = refs[i][:]; i += 1
+            wy = refs[i][:]; i += 1
+            wz = refs[i][:]; i += 1
+            shade_t = refs[i][:]; i += 1
+            mat_lane = refs[i][:]; i += 1
+            tex_lane = refs[i][:] if textured else None
+            if textured:
+                i += 1
+            light_lane = refs[i][:]; i += 1
+            xy = refs[i][0]; i += 1
+            sf = refs[i][0]; i += 1
+            su = refs[i][0]; i += 1
+            q16 = refs[i][0] if textured else None
+            if textured:
+                i += 1
+            out = list(refs[i:])
+
+            st, lane_acc, ndone, bcnt = unpack_r(sf, su)
+
+            # 1. flush lanes that died at the previous trace (miss -> env)
+            dead0 = _is_dead(st['flags'])
+            contrib0 = stage_env_contribute(consts, st, integrator_type)
+            lane_acc = lane_acc + jnp.where(dead0, contrib0, 0.0)
+            ndone = ndone + dead0.astype(jnp.uint32)
+            stf = stage_init(consts, xy[0], xy[1], st['rngx'], st['rngy'],
+                             mask=dead0)
+            st = _merge_state(dead0, stf, st)
+            bcnt = jnp.where(dead0, jnp.uint32(0), bcnt)
+            act = ~dead0          # non-fresh lanes all carry a valid hit
+
+            # 2. shade
+            md = fetch_mat(mat_lane, _mat_id(st['flags']))
+            if textured:
+                _, w4 = stage_tap_prep(tex_lane, md, st)
+                tex = tex_from_rows(q16, w4)
+            else:
+                tex = md['texc']
+            prim = bcnt == 0
+            if integrator_type != INTEGRATOR_STUPID_PT:
+                shade, rngx2, rngy2 = stage_nee(
+                    wx, wy, wz, shade_t, n_tris, light_lane, consts,
+                    md, tex, st, None, integrator_type, active=act)
+                st['rngx'] = rngx2
+                st['rngy'] = rngy2
+            else:
+                shade = jnp.zeros_like(st['accum'])
+            st = stage_next_bounce(md, tex, st, shade, None, integrator_type,
+                                   light_lane, consts, active=act, prim=prim)
+            bcnt = bcnt + act.astype(jnp.uint32)
+            # depth truncation: the fixed chain discards the sampled bounce
+            # ray after shade n_bounce-1; kill those paths here
+            trunc = act & (bcnt >= jnp.uint32(n_bounce)) \
+                & ~_is_dead(st['flags'])
+            st['flags'] = jnp.where(
+                trunc, st['flags'] | jnp.uint32(C.RAY_FLAG_IS_DEAD),
+                st['flags'])
+
+            # 3. flush shade-deaths (light hit / truncation) + re-init
+            dead1 = _is_dead(st['flags']) & act
+            contrib1 = stage_env_contribute(consts, st, integrator_type)
+            lane_acc = lane_acc + jnp.where(dead1, contrib1, 0.0)
+            ndone = ndone + dead1.astype(jnp.uint32)
+            stf2 = stage_init(consts, xy[0], xy[1], st['rngx'], st['rngy'],
+                              mask=dead1)
+            st = _merge_state(dead1, stf2, st)
+            bcnt = jnp.where(dead1, jnp.uint32(0), bcnt)
+
+            # 4. trace (every lane is live: continuing or freshly inited)
+            st = stage_trace(wx, wy, wz, shade_t, n_tris, st, None,
+                             prim=bcnt == 0)
+
+            sf2, su2 = pack_r(st, lane_acc, ndone, bcnt)
+            out[0][0] = sf2
+            out[1][0] = su2
+            if textured:
+                emit_tap(out, 2, tex_lane, mat_lane, st)
+
+        in_specs = [smem, full, full, full, full, full]
+        if textured:
+            in_specs.append(full)
+        in_specs.append(full)  # light_lane
+        in_specs += [bspec(2), bspec(RF_NROWS), bspec(RU_NROWS)]
+        if textured:
+            in_specs += [bspec(16)]
+        return kernel, in_specs
+
+    def out_for(n_rays):
+        nb = n_rays // RBLK
+        shapes = [jax.ShapeDtypeStruct((nb, RF_NROWS, S, L), jnp.float32),
+                  jax.ShapeDtypeStruct((nb, RU_NROWS, S, L), jnp.uint32)]
+        specs = [bspec(RF_NROWS), bspec(RU_NROWS)]
+        if textured:
+            shapes += [jax.ShapeDtypeStruct((nb, 1, S, L), jnp.int32)]
+            specs += [bspec(1)]
+        return tuple(shapes), tuple(specs)
+
+    def call(kspec, pk_args, state_args, n_rays):
+        kernel, in_specs = kspec
+        out_shapes, out_specs = out_for(n_rays)
+        return pl.pallas_call(
+            kernel,
+            grid=(NB,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(*pk_args, *state_args)
+
+    return {'rfirst': make_rfirst(), 'rmid': make_rmid()}, call
+
+
 def _tap_xla(pk: MegaPack, qidx):
     """Between-kernel texture tap: ONE DMA row gather from the sliding
     quad pool + the ray-major -> plane transpose (cheap in XLA, ruinous
@@ -1788,6 +2027,78 @@ def sample_pass_pallas(pk: MegaPack, xy, sf_unused, su, depth: int,
     return contrib, su
 
 
+def _regen_iters(pk, ks, call, xy, sf, su, rows, k, n_rays):
+    """k rmid iterations with taps between (traced inline under jit)."""
+    textured = not pk.tex_const
+    base = [pk.consts, pk.wx, pk.wy, pk.wz, pk.shade_t, pk.mat_lane]
+    pk_mid = base + ([pk.tex_lane] if textured else []) + [pk.light_lane]
+    for _ in range(k):
+        state = [xy, sf, su] + ([rows] if textured else [])
+        r = call(ks['rmid'], pk_mid, state, n_rays)
+        if textured:
+            sf, su, qidx = r
+            rows = _tap_xla(pk, qidx)
+        else:
+            sf, su = r
+    return sf, su, rows
+
+
+@functools.partial(jax.jit, static_argnames=('depth', 'integrator_type',
+                                             'k_iters', 'interpret'))
+def _regen_start(pk, xy, su, depth, integrator_type, k_iters, interpret):
+    """rfirst + (k_iters-1) rmid iterations; returns (sf, su, rows)."""
+    n_rays = xy.shape[0] * RBLK
+    nq = 1 if pk.quad_rows is None else int(pk.quad_rows.shape[0])
+    textured = not pk.tex_const
+    ks, call = _build_regen_kernels(depth, integrator_type, textured,
+                                    n_rays // RBLK, pk.n_tris, nq, interpret)
+    base = [pk.consts, pk.wx, pk.wy, pk.wz, pk.shade_t, pk.mat_lane]
+    pk_first = base + ([pk.tex_lane] if textured else [])
+    r = call(ks['rfirst'], pk_first, [xy, su], n_rays)
+    if textured:
+        sf, su2, qidx = r
+        rows = _tap_xla(pk, qidx)
+    else:
+        (sf, su2), rows = r, None
+    return _regen_iters(pk, ks, call, xy, sf, su2, rows, k_iters - 1, n_rays)
+
+
+@functools.partial(jax.jit, static_argnames=('depth', 'integrator_type',
+                                             'k_iters', 'interpret'))
+def _regen_cont(pk, xy, sf, su, rows, depth, integrator_type, k_iters,
+                interpret):
+    n_rays = xy.shape[0] * RBLK
+    nq = 1 if pk.quad_rows is None else int(pk.quad_rows.shape[0])
+    ks, call = _build_regen_kernels(depth, integrator_type, not pk.tex_const,
+                                    n_rays // RBLK, pk.n_tris, nq, interpret)
+    return _regen_iters(pk, ks, call, xy, sf, su, rows, k_iters, n_rays)
+
+
+@functools.partial(jax.jit, static_argnames=('integrator_type',))
+def _regen_finalize(pk, sf, su, integrator_type):
+    """Flush still-dead lanes (the in-flight partial sample is discarded —
+    the stop rule is value-independent) and normalize per lane.
+
+    Returns (img [4, n_rays], n_done [n_rays])."""
+    sft = sf.transpose(1, 0, 2, 3)
+    sut = su.transpose(1, 0, 2, 3)
+    st = _unpack_state(sft, sut)
+    lane_acc = sft[RF_ACC:RF_ACC + 4]
+    ndone = sut[RU_NDONE]
+    dead = _is_dead(st['flags'])
+    contrib = stage_env_contribute(pk.consts, st, integrator_type)
+    lane_acc = lane_acc + jnp.where(dead, contrib, 0.0)
+    ndone = ndone + dead.astype(jnp.uint32)
+    img = lane_acc / jnp.maximum(ndone.astype(jnp.float32), 1.0)
+    # [4, NB, S, L] -> flat lane order nb*RBLK + s*L + l (matches setup)
+    return img.reshape(4, -1), ndone.reshape(-1)
+
+
+@jax.jit
+def _regen_done_mean(su):
+    return jnp.mean(su[:, RU_NDONE].astype(jnp.float32))
+
+
 # ===========================================================================
 # render driver
 # ===========================================================================
@@ -1827,12 +2138,20 @@ def _render_chunk(pk: MegaPack, xy, su, depth: int, integrator_type: int,
 def render(scene: Scene, meta: SceneMeta, spp: int = None,
            integrator: str = 'mispt', channels: int = 4,
            tile_size: int = 1 << 17, k_samples: int = 16,
-           progress: bool = False, return_timing: bool = False):
+           progress: bool = False, return_timing: bool = False,
+           regen: bool = False):
     """Full-frame render through the Pallas megakernel pipeline.
 
     Mirrors render.render()'s contract ([H,W,channels] float32, normalized);
     RNG seeding matches the XLA path (same gen_init streams), so images
-    agree with it up to FP-boundary path divergence."""
+    agree with it up to FP-boundary path divergence.
+
+    regen=True switches to the persistent-samples pipeline: each lane
+    renders its pixel's samples back to back, re-initializing the moment a
+    path dies, and the frame is normalized by the per-pixel completed-sample
+    count (targeting a MEAN of `spp`).  Same estimator, same RNG streams —
+    but the per-pixel sample count varies, so images differ from the fixed
+    chain by reordering, not by distribution."""
     import time as _time
     from ..ops import rng as RNG
 
@@ -1882,6 +2201,48 @@ def render(scene: Scene, meta: SceneMeta, spp: int = None,
     xy_tiles = list(hit[0])
     su_tiles = list(hit[1])
     fb_parts = [None] * n_tiles
+
+    if regen:
+        kit = 16
+        depth = meta.trace_depth
+        n_bounce = depth + (1 if itype == INTEGRATOR_STUPID_PT else 0)
+        img_parts = []
+        nd_parts = []
+        for t in range(n_tiles):
+            sf, su2, rows = _regen_start(pk, xy_tiles[t], su_tiles[t],
+                                         depth, itype, kit, interpret)
+            iters = kit
+            max_iters = spp * (n_bounce + 2) + kit  # fixed-chain cost bound
+            while iters < max_iters:
+                mean_done = float(_regen_done_mean(su2))
+                if mean_done >= spp:
+                    break
+                rate = max(mean_done / iters, 1.0 / (n_bounce + 2))
+                rem = max(1, int(math.ceil((spp - mean_done) / (rate * kit))))
+                for _ in range(rem):
+                    sf, su2, rows = _regen_cont(pk, xy_tiles[t], sf, su2,
+                                                rows, depth, itype, kit,
+                                                interpret)
+                iters += rem * kit
+                if progress:
+                    print(f'rendering, progress = '
+                          f'{100.0 * min(mean_done / spp, 1.0):.2f} %',
+                          end='\r')
+            img4, nd = _regen_finalize(pk, sf, su2, itype)
+            img_parts.append(img4)
+            nd_parts.append(nd)
+        if progress:
+            print()
+        flat = jnp.concatenate(img_parts, axis=1)
+        nd_all = np.asarray(jnp.concatenate(nd_parts))[:N]
+        samples_done = int(nd_all.astype(np.int64).sum())
+        out = np.asarray(flat).T[:N]
+        total = _time.time() - t0
+        img = out.reshape(H, W, 4)[..., :channels]
+        if return_timing:
+            return img, dict(total_s=total, spp=spp, rays=N * spp,
+                             samples=samples_done)
+        return img
 
     done = 0
     while done < spp:

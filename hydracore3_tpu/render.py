@@ -225,7 +225,7 @@ def render(scene: Scene, meta: SceneMeta, spp: int = None,
            tile_size: int = 1 << 15, iters_per_dispatch: int = 0,
            progress: bool = False, return_timing: bool = False,
            checkpoint_path: str = None, checkpoint_every: int = 0,
-           resume: bool = False):
+           resume: bool = False, regen: bool = False):
     """Render a full frame. Returns float32 [H, W, channels] (normalized).
 
     ``tile_size`` default (32k rays) keeps per-bounce intermediates VMEM-
@@ -256,7 +256,7 @@ def render(scene: Scene, meta: SceneMeta, spp: int = None,
         if MK.supported(scene, meta):
             return MK.render(scene, meta, spp=spp, integrator=integrator,
                              channels=channels, progress=progress,
-                             return_timing=return_timing)
+                             return_timing=return_timing, regen=regen)
 
     if iters_per_dispatch <= 0:
         # default: the whole spp budget in one dispatch per tile, unless
