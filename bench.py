@@ -1,12 +1,16 @@
-"""Benchmark: MIS path-tracer throughput on the Cornell scene (test_035).
+"""Benchmark: MIS path-tracer throughput — Cornell + sponza-class city.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints TWO JSON lines (the driver captures the tail; the LAST line is the
+big-scene metric that corresponds to what BASELINE.md actually measures):
 
-Baseline derivation (BASELINE.md): the reference renders test_102 (mirror
-Cornell) 1024x1024 @ 1024 spp in 798 ms on an RTX 4090 ~= 1344 Msamples/s
-(camera paths per second).  We measure the same quantity — completed camera
-samples per second, full MIS estimator with NEE shadow rays — on one TPU
-chip and report vs that number.
+  1. Cornell test_035 (the r1-r3 continuity metric; megakernel fast path).
+  2. A 262k-triangle synthetic city (hydracore3_tpu/scene/synth.py) — the
+     reference's perf ledger is defined on sponza-class scenes of exactly
+     this size (testing/perf.txt:2-8); rendered through the HBM-streaming
+     Pallas BVH path (accel/traverse_stream.py).
+
+Baselines (BASELINE.md, RTX 4090): test_102 798 ms @ 1024^2x1024spp =
+1344 Msamples/s; sponza 2282 ms = 470 Msamples/s.
 """
 import json
 import os
@@ -16,10 +20,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_MSAMPLES = 1344.0
+BASELINE_BIG_MSAMPLES = 470.0
 CORNELL = '/root/reference/scenes/test_035/statex_00001.xml'
 
 
-def main():
+def _count_rays(scene, meta, n_px=1 << 16):
+    import jax
+    import jax.numpy as jnp
+    from hydracore3_tpu.models import integrator_pt as IPT
+    from hydracore3_tpu.ops import rng as RNG
+    pix = jnp.arange(min(n_px, meta.width * meta.height), dtype=jnp.int32)
+    cnt = jax.jit(lambda r: IPT.count_rays_pass(scene, meta, r, pix))(
+        RNG.gen_init(pix))
+    return float(cnt[0] + cnt[1]) / pix.shape[0]
+
+
+def bench_cornell():
     from hydracore3_tpu.scene import build as SB
     from hydracore3_tpu import render as R
 
@@ -28,12 +44,9 @@ def main():
     scene, meta = SB.load_scene(CORNELL, width=width, height=height)
 
     tile = 1 << 15  # XLA path: VMEM-resident intermediates (see render.py)
-    # regeneration mode (megakernel persistent samples): dead lanes re-init
-    # the pixel's next sample immediately, so throughput counts ACTUAL
-    # completed camera samples (reported by return_timing['samples'])
     regen = os.environ.get('BENCH_REGEN', '1') != '0'
-    # warmup + compile with the SAME executables as the timed run (the
-    # megakernel path unrolls k=16 samples per dispatch: spp=16 warms it)
+    # warmup compiles the SAME executables as the timed run (megakernel
+    # unrolls k=16 samples per dispatch: spp=16 warms it)
     R.render(scene, meta, spp=16, integrator='mispt', tile_size=tile,
              regen=regen)
 
@@ -44,27 +57,49 @@ def main():
     img, timing = out if isinstance(out, tuple) else (out, {})
     samples = timing.get('samples', width * height * spp)
     msamples_s = samples / dt / 1e6
-
-    # direct ray-count instrumentation (BASELINE.md:20): rays actually
-    # traced per camera sample (nearest + NEE shadow), counted on-device
-    import jax, jax.numpy as jnp
-    from hydracore3_tpu.models import integrator_pt as IPT
-    from hydracore3_tpu.ops import rng as RNG
-    n_px = min(1 << 16, width * height)
-    pix = jnp.arange(n_px, dtype=jnp.int32)
-    cnt = jax.jit(lambda r: IPT.count_rays_pass(scene, meta, r, pix))(
-        RNG.gen_init(pix))
-    rays_per_sample = float(cnt[0] + cnt[1]) / n_px
-    mrays_s = msamples_s * rays_per_sample
-
+    rays_per_sample = _count_rays(scene, meta)
     print(json.dumps({
         'metric': 'mis_pt_cornell_throughput',
         'value': round(msamples_s, 2),
         'unit': 'Msamples/s',
         'vs_baseline': round(msamples_s / BASELINE_MSAMPLES, 4),
-        'mrays_per_s': round(mrays_s, 2),
+        'mrays_per_s': round(msamples_s * rays_per_sample, 2),
         'rays_per_sample': round(rays_per_sample, 3),
-    }))
+    }), flush=True)
+
+
+def bench_city():
+    from hydracore3_tpu.scene import synth
+    from hydracore3_tpu import render as R
+
+    spp = int(os.environ.get('BENCH_BIG_SPP', '4'))
+    scene, meta = synth.city_scene(width=1024, height=1024, depth=5)
+    assert meta.use_stream, 'city must route through the streamed BVH'
+
+    tile = 1 << 15
+    R.render(scene, meta, spp=1, integrator='mispt', tile_size=tile)
+
+    t0 = time.time()
+    R.render(scene, meta, spp=spp, integrator='mispt', tile_size=tile)
+    dt = time.time() - t0
+    samples = 1024 * 1024 * spp
+    msamples_s = samples / dt / 1e6
+    rays_per_sample = _count_rays(scene, meta)
+    print(json.dumps({
+        'metric': 'mis_pt_city262k_throughput',
+        'value': round(msamples_s, 3),
+        'unit': 'Msamples/s',
+        'vs_baseline': round(msamples_s / BASELINE_BIG_MSAMPLES, 5),
+        'mrays_per_s': round(msamples_s * rays_per_sample, 2),
+        'rays_per_sample': round(rays_per_sample, 3),
+        'tris': int(meta.num_tris),
+    }), flush=True)
+
+
+def main():
+    bench_cornell()
+    if os.environ.get('BENCH_BIG', '1') != '0':
+        bench_city()
 
 
 if __name__ == '__main__':

@@ -1,0 +1,469 @@
+"""Grid-DDA wavefront traversal — the INCOHERENT-ray path for big scenes.
+
+The streamed BVH kernel (traverse_stream.py) walks one shared BVH cut per
+[SUB,128]-ray tile, so a tile pays rays_in_tile x UNION(clusters) — near
+optimal for coherent camera/shadow packets, but 5-10x wasteful for diffuse
+bounce rays even after octant/Morton sorting (measured on the 215k-tri
+city, docs/PERF_NOTES.md r4).  This module replaces the per-tile walk with
+GLOBAL rebinning, the TPU-native form of wavefront traversal
+(kmake_wave.json:11 is the reference's wavefront build):
+
+  * scene clusters (the same [C, 4, WPAD] Woop blocks the streamed kernel
+    uses) are binned into a uniform grid over the scene AABB at build time;
+  * rays march the grid with a 3D-DDA — the cell index and exit-t are pure
+    vector math in XLA (no gathers);
+  * each round, rays are argsorted by current cell id, so every [SUB,128]
+    tile holds rays wanting the SAME few cells; the Pallas kernel
+    intersects each tile against its (<= CELL_CAP distinct) cells' cluster
+    lists densely, with per-lane best-t culling and double-buffered HBM
+    cluster DMA;
+  * a ray terminates when its best hit lies inside the traversed prefix
+    (front-to-back correctness), when it leaves the grid (miss), or — in
+    any-hit mode — at the first occluder.
+
+Sorting costs ~0.5 ms per 32k rays per round (argsort + state gather);
+rays typically resolve in 2-6 rounds on sponza-class scenes.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .traverse_stream import SUB, TILE, TBK, WPAD
+
+FLT_MAX = 3.4e38
+BIG_I = 0x7FFFFFF0
+CELL_CAP = 4        # max distinct cells processed per tile per round
+QCAP = 256          # cluster queue per tile per round
+
+
+@dataclasses.dataclass(frozen=True)
+class GridPack:
+    """Device tables for the DDA tracer (static geometry per scene)."""
+    cell_tab: jnp.ndarray    # [NC, 4] i32: (cluster_offset, count, 0, 0)
+    cell_cl: jnp.ndarray     # [K, 4] i32: cluster slot per entry
+    cl_aabb: jnp.ndarray     # [C, 8] f32: per-cluster AABB (re-test cull)
+    lo: tuple                # grid origin (3 floats, static)
+    h: tuple                 # cell size (3 floats, static)
+    dims: tuple              # cells per axis (3 ints, static)
+
+
+jax.tree_util.register_dataclass(
+    GridPack, data_fields=['cell_tab', 'cell_cl', 'cl_aabb'],
+    meta_fields=['lo', 'h', 'dims'])
+
+
+def pack_grid(nodes_f: np.ndarray, nodes_i: np.ndarray,
+              target_clusters_per_cell: float = 3.0,
+              max_dim: int = 64) -> GridPack:
+    """Bin the stream-BVH's leaf clusters into a uniform grid.
+
+    nodes_f/nodes_i are pack_stream_bvh outputs; leaf rows carry the
+    cluster AABB and slot."""
+    leaf = nodes_i[:, 1] >= 0
+    lo3 = nodes_f[leaf, 0:3]
+    hi3 = nodes_f[leaf, 3:6]
+    slot = nodes_i[leaf, 1]
+    C = int(slot.max()) + 1 if len(slot) else 1
+    cl_aabb = np.zeros((max(C, 1), 8), np.float32)
+    cl_aabb[slot, 0:3] = lo3
+    cl_aabb[slot, 3:6] = hi3
+
+    glo = lo3.min(axis=0) - 1e-3
+    ghi = hi3.max(axis=0) + 1e-3
+    ext = np.maximum(ghi - glo, 1e-3)
+    # cell volume targeting ~target clusters per cell, clamped per axis
+    n_cells = max(int(C / target_clusters_per_cell), 8)
+    hsz = float((ext.prod() / n_cells) ** (1.0 / 3.0))
+    dims = np.clip(np.ceil(ext / hsz).astype(np.int64), 1, max_dim)
+    h = ext / dims
+
+    ix0 = np.clip(((lo3 - glo) / h).astype(np.int64), 0, dims - 1)
+    ix1 = np.clip(((hi3 - glo) / h).astype(np.int64), 0, dims - 1)
+    cells: list[list[int]] = [[] for _ in range(int(dims.prod()))]
+    dy = int(dims[2])
+    dxy = int(dims[1] * dims[2])
+    for c in range(len(slot)):
+        for x in range(ix0[c, 0], ix1[c, 0] + 1):
+            for y in range(ix0[c, 1], ix1[c, 1] + 1):
+                for z in range(ix0[c, 2], ix1[c, 2] + 1):
+                    cells[x * dxy + y * dy + z].append(int(slot[c]))
+    NC = len(cells)
+    cell_tab = np.zeros((NC, 4), np.int32)
+    flat: list[int] = []
+    for i, cl in enumerate(cells):
+        cell_tab[i, 0] = len(flat)
+        cell_tab[i, 1] = len(cl)
+        flat.extend(cl)
+    max_cell = int(cell_tab[:, 1].max(initial=0))
+    if max_cell > QCAP:
+        raise ValueError(
+            f'cell with {max_cell} clusters exceeds QCAP={QCAP}; raise the '
+            f'grid resolution (scene extent degenerate?)')
+    cell_cl = np.zeros((max(len(flat), 1), 4), np.int32)
+    cell_cl[:len(flat), 0] = flat
+    return GridPack(cell_tab=jnp.asarray(cell_tab),
+                    cell_cl=jnp.asarray(cell_cl),
+                    cl_aabb=jnp.asarray(cl_aabb),
+                    lo=tuple(float(v) for v in glo),
+                    h=tuple(float(v) for v in h),
+                    dims=tuple(int(v) for v in dims))
+
+
+def _cell_kernel(cell_tab_ref, cell_cl_ref, cl_aabb_ref, tris_hbm_ref,
+                 rays_ref, cell_ref, bestin_ref, ibest_ref,
+                 out_t_ref, out_tri_ref, out_u_ref, out_v_ref, out_pr_ref,
+                 queue_ref, buf_ref, sem_ref, *, any_hit: bool):
+    """Per-tile: intersect lanes against the clusters of up to CELL_CAP
+    distinct lane-cells (tile is cell-sorted, so usually 1-2)."""
+    px = rays_ref[0, 0]
+    py = rays_ref[0, 1]
+    pz = rays_ref[0, 2]
+    dx = rays_ref[0, 3]
+    dy = rays_ref[0, 4]
+    dz = rays_ref[0, 5]
+    tmin = rays_ref[0, 6]
+
+    big = jnp.float32(1e30)
+    ix = jnp.where(jnp.abs(dx) > 1e-20, 1.0 / dx, big)
+    iy = jnp.where(jnp.abs(dy) > 1e-20, 1.0 / dy, big)
+    iz = jnp.where(jnp.abs(dz) > 1e-20, 1.0 / dz, big)
+
+    R = TILE
+    ones_r = jnp.ones((R,), jnp.float32)
+    rhs_o = jnp.stack([px.reshape(R), py.reshape(R), pz.reshape(R), ones_r])
+    rhs_d = jnp.stack([dx.reshape(R), dy.reshape(R), dz.reshape(R),
+                       jnp.zeros((R,), jnp.float32)])
+    tminw = tmin.reshape(1, R)
+
+    cell = cell_ref[0, 0]                   # [SUB, 128] i32 (BIG_I = idle)
+
+    def slab_cluster(cslot, best_t):
+        """Tile-vs-cluster-AABB re-test with current best_t."""
+        bx0 = cl_aabb_ref[cslot, 0]
+        by0 = cl_aabb_ref[cslot, 1]
+        bz0 = cl_aabb_ref[cslot, 2]
+        bx1 = cl_aabb_ref[cslot, 3]
+        by1 = cl_aabb_ref[cslot, 4]
+        bz1 = cl_aabb_ref[cslot, 5]
+        t0x = (bx0 - px) * ix
+        t1x = (bx1 - px) * ix
+        t0y = (by0 - py) * iy
+        t1y = (by1 - py) * iy
+        t0z = (bz0 - pz) * iz
+        t1z = (bz1 - pz) * iz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.maximum(jnp.minimum(t0z, t1z), tmin))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.minimum(jnp.maximum(t0z, t1z), best_t))
+        return jnp.any(tn <= tf)
+
+    def get_dma(slot, cluster):
+        return pltpu.make_async_copy(
+            tris_hbm_ref.at[cluster], buf_ref.at[slot], sem_ref.at[slot])
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def intersect_cluster(slot, cslot, carry):
+        best_t, best_i, best_u, best_v = carry
+        w = buf_ref[slot]
+        dn = (((0,), (0,)), ((), ()))
+        po = jax.lax.dot_general(w, rhs_o, dn, precision=hi,
+                                 preferred_element_type=jnp.float32)
+        pd = jax.lax.dot_general(w, rhs_d, dn, precision=hi,
+                                 preferred_element_type=jnp.float32)
+        po_x = po[0 * TBK:1 * TBK]
+        po_y = po[1 * TBK:2 * TBK]
+        po_z = po[2 * TBK:3 * TBK]
+        pd_x = pd[0 * TBK:1 * TBK]
+        pd_y = pd[1 * TBK:2 * TBK]
+        pd_z = pd[2 * TBK:3 * TBK]
+        t = -po_z / pd_z
+        u = po_x + t * pd_x
+        v = po_y + t * pd_y
+        valid = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                 & (t > tminw) & (t < best_t))
+        if any_hit:
+            anyv = jnp.any(valid, axis=0, keepdims=True)
+            best_i = jnp.where(anyv, 0, best_i)
+            best_t = jnp.where(anyv, tminw, best_t)
+            return best_t, best_i, best_u, best_v
+        tm = jnp.where(valid, t, FLT_MAX)
+        bt = jnp.min(tm, axis=0, keepdims=True)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (TBK, R), 0)
+        li = jnp.min(jnp.where(tm == bt, ii, BIG_I), axis=0, keepdims=True)
+        oh = ((ii == li) & valid)
+        ub = jnp.max(jnp.where(oh, u, -1.0), axis=0, keepdims=True)
+        vb = jnp.max(jnp.where(oh, v, -1.0), axis=0, keepdims=True)
+        closer = bt < best_t
+        best_i = jnp.where(closer, cslot * TBK + li, best_i)
+        best_u = jnp.where(closer, ub, best_u)
+        best_v = jnp.where(closer, vb, best_v)
+        best_t = jnp.minimum(best_t, bt)
+        return best_t, best_i, best_u, best_v
+
+    # ---- collect the tile's distinct cells (ascending) -------------------
+    # and their cluster lists into the queue
+    processed = jnp.zeros((SUB, 128), jnp.int32)
+
+    def collect(cap_i, carry):
+        qn, cur_min, processed = carry
+        # cur_min: smallest unprocessed cell id in the tile (BIG_I if none)
+        valid_cell = cur_min < BIG_I
+
+        def add(args):
+            qn, processed = args
+            off = cell_tab_ref[cur_min, 0]
+            cnt = cell_tab_ref[cur_min, 1]
+            # a cell is taken whole or not at all — truncating its cluster
+            # list would silently drop geometry (lanes stay unprocessed
+            # and retry next round instead)
+            fits = qn + cnt <= QCAP
+
+            def do(args):
+                qn, processed = args
+
+                def push(j, q):
+                    queue_ref[q] = cell_cl_ref[off + j, 0]
+                    return q + 1
+
+                qn = jax.lax.fori_loop(0, cnt, push, qn)
+                processed = processed | (cell == cur_min).astype(jnp.int32)
+                return qn, processed
+
+            return jax.lax.cond(fits, do, lambda a: a, (qn, processed))
+
+        qn, processed = jax.lax.cond(valid_cell, add,
+                                     lambda a: a, (qn, processed))
+        nxt = jnp.min(jnp.where(cell > cur_min, cell, BIG_I))
+        return qn, nxt, processed
+
+    first = jnp.min(cell)
+    qn, _, processed = jax.lax.fori_loop(
+        0, CELL_CAP, collect, (jnp.int32(0), first, processed))
+
+    # ---- flush the cluster queue with double-buffered DMA ----------------
+    best = (bestin_ref[0, 0][None].reshape(1, R),        # best_t plane
+            ibest_ref[0, 0][None].reshape(1, R),         # best_i plane
+            bestin_ref[0, 1][None].reshape(1, R),        # u
+            bestin_ref[0, 2][None].reshape(1, R))        # v
+
+    @pl.when(qn > 0)
+    def _():
+        get_dma(0, queue_ref[0]).start()
+
+    def f_body(k, carry):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < qn)
+        def _():
+            get_dma(1 - slot, queue_ref[k + 1]).start()
+
+        get_dma(slot, queue_ref[k]).wait()
+        live = slab_cluster(queue_ref[k], carry[0].reshape(SUB, 128))
+        return jax.lax.cond(
+            live, lambda c: intersect_cluster(slot, queue_ref[k], c),
+            lambda c: c, carry)
+
+    best_t, best_i, best_u, best_v = jax.lax.fori_loop(0, qn, f_body, best)
+
+    out_t_ref[0] = best_t.reshape(SUB, 128)
+    out_tri_ref[0] = best_i.reshape(SUB, 128)
+    out_u_ref[0] = best_u.reshape(SUB, 128)
+    out_v_ref[0] = best_v.reshape(SUB, 128)
+    out_pr_ref[0] = processed
+
+
+def _cell_pass(grid: GridPack, tris_hbm, rays, cell, best_t, best_i,
+               best_u, best_v, any_hit: bool, interpret: bool):
+    """One Pallas round over cell-sorted rays.  All arrays pre-tiled:
+    rays [n_tiles, 8, SUB, 128]; cell/best* [n_tiles, SUB, 128]."""
+    n_tiles = rays.shape[0]
+    tile_spec = pl.BlockSpec((1, SUB, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    bestin = jnp.stack([best_t, best_u, best_v], axis=1)  # [nt, 3, SUB, 128]
+    ibest = best_i[:, None]                               # [nt, 1, SUB, 128]
+    outs = pl.pallas_call(
+        functools.partial(_cell_kernel, any_hit=any_hit),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(grid.cell_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(grid.cell_cl.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(grid.cl_aabb.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, SUB, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, SUB, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, SUB, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, SUB, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[tile_spec] * 5,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, SUB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, SUB, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, SUB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, SUB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, SUB, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((QCAP,), jnp.int32),
+            pltpu.VMEM((2, 4, WPAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(grid.cell_tab, grid.cell_cl, grid.cl_aabb, tris_hbm,
+      rays, cell[:, None], bestin, ibest)
+    return outs
+
+
+@functools.partial(jax.jit, static_argnames=('grid_lo', 'grid_h',
+                                             'grid_dims', 'any_hit',
+                                             'interpret', 'max_rounds'))
+def _trace_dda_impl(cell_tab, cell_cl, cl_aabb, tris_hbm,
+                    ray_pos, ray_dir, t_min, t_max,
+                    grid_lo, grid_h, grid_dims,
+                    any_hit: bool, interpret: bool, max_rounds: int):
+    N = ray_pos.shape[0]
+    n_tiles = -(-N // TILE)
+    pad = n_tiles * TILE - N
+    if pad:
+        ray_pos = jnp.concatenate([ray_pos, jnp.zeros((pad, 3), jnp.float32)])
+        ray_dir = jnp.concatenate([ray_dir, jnp.ones((pad, 3), jnp.float32)])
+        t_min = jnp.concatenate([t_min, jnp.zeros((pad,), jnp.float32)])
+        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), jnp.float32)])
+    Np = n_tiles * TILE
+    grid = GridPack(cell_tab=cell_tab, cell_cl=cell_cl, cl_aabb=cl_aabb,
+                    lo=grid_lo, h=grid_h, dims=grid_dims)
+
+    lo = jnp.asarray(grid_lo, jnp.float32)
+    h = jnp.asarray(grid_h, jnp.float32)
+    dims = jnp.asarray(grid_dims, jnp.int32)
+    dxy = grid_dims[1] * grid_dims[2]
+    dz_ = grid_dims[2]
+    eps = 1e-4 * float(min(grid_h))
+
+    inv_d = jnp.where(jnp.abs(ray_dir) > 1e-20, 1.0 / ray_dir, 1e30)
+    # grid-box entry param
+    t0 = (lo[None] - ray_pos) * inv_d
+    t1 = (lo[None] + h[None] * dims[None].astype(jnp.float32)
+          - ray_pos) * inv_d
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    t_enter = jnp.maximum(tn, t_min)
+    miss_box = (tn > tf) | (tf < t_min)
+
+    def round_body(carry):
+        (t_cur, best_t, best_i, best_u, best_v, done, orig, rnd) = carry
+        # cell + exit-t from current march position (pure vector math)
+        p = ray_pos_s(orig) + ray_dir_s(orig) * (t_cur + eps)[:, None]
+        q = jnp.floor((p - lo[None]) / h[None]).astype(jnp.int32)
+        inside = jnp.all((q >= 0) & (q < dims[None]), axis=-1)
+        qc = jnp.clip(q, 0, dims[None] - 1)
+        cell = qc[:, 0] * dxy + qc[:, 1] * dz_ + qc[:, 2]
+        d = ray_dir_s(orig)
+        ivd = jnp.where(jnp.abs(d) > 1e-20, 1.0 / d, 1e30)
+        nxt_b = lo[None] + (qc + (d > 0)).astype(jnp.float32) * h[None]
+        t_exit = jnp.min(jnp.where(jnp.abs(d) > 1e-20,
+                                   (nxt_b - ray_pos_s(orig)) * ivd, 1e30),
+                         axis=-1)
+        live = ~done & inside
+        key = jnp.where(live, cell, jnp.int32(BIG_I))
+        perm = jnp.argsort(key)
+        orig = orig[perm]
+        t_cur = t_cur[perm]
+        best_t = best_t[perm]
+        best_i = best_i[perm]
+        best_u = best_u[perm]
+        best_v = best_v[perm]
+        done = done[perm]
+        live = live[perm]
+        cell = key[perm]
+        t_exit = t_exit[perm]
+
+        rp = ray_pos_s(orig)
+        rd = ray_dir_s(orig)
+        rays = jnp.stack([rp[:, 0], rp[:, 1], rp[:, 2],
+                          rd[:, 0], rd[:, 1], rd[:, 2],
+                          t_min[orig], t_max[orig]], axis=0)
+        rays = rays.reshape(8, n_tiles, SUB, 128).transpose(1, 0, 2, 3)
+
+        def tile3(x):
+            return x.reshape(n_tiles, SUB, 128)
+
+        bt, bi, bu, bv, pr = _cell_pass(
+            grid, tris_hbm, rays, tile3(cell), tile3(best_t),
+            tile3(best_i), tile3(best_u), tile3(best_v),
+            any_hit, interpret)
+        best_t = bt.reshape(Np)
+        best_i = bi.reshape(Np)
+        best_u = bu.reshape(Np)
+        best_v = bv.reshape(Np)
+        pr = pr.reshape(Np) != 0
+
+        advanced = live & pr
+        if any_hit:
+            done = done | ~inside | (best_i >= 0)
+        else:
+            done = done | ~inside | (advanced & (best_t <= t_exit))
+        t_cur = jnp.where(advanced & ~done, t_exit, t_cur)
+        done = done | (t_cur >= t_max[orig])
+        return (t_cur, best_t, best_i, best_u, best_v, done, orig,
+                rnd + 1)
+
+    def round_cond(carry):
+        done = carry[5]
+        rnd = carry[7]
+        return (rnd < max_rounds) & jnp.any(~done)
+
+    def ray_pos_s(orig):
+        return ray_pos[orig]
+
+    def ray_dir_s(orig):
+        return ray_dir[orig]
+
+    orig0 = jnp.arange(Np, dtype=jnp.int32)
+    init = (t_enter,
+            t_max,
+            jnp.full((Np,), -1, jnp.int32),
+            jnp.zeros((Np,), jnp.float32),
+            jnp.zeros((Np,), jnp.float32),
+            miss_box | (t_max <= t_min),
+            orig0,
+            jnp.int32(0))
+    t_cur, best_t, best_i, best_u, best_v, done, orig, _ = \
+        jax.lax.while_loop(round_cond, round_body, init)
+
+    inv = jnp.argsort(orig)
+    best_t = best_t[inv][:N]
+    best_i = best_i[inv][:N]
+    best_u = best_u[inv][:N]
+    best_v = best_v[inv][:N]
+    return best_t, best_i, best_u, best_v
+
+
+def intersect_dda(grid: GridPack, tris_hbm, ray_pos, ray_dir, t_min, t_max,
+                  any_hit: bool = False, interpret: bool = False,
+                  max_rounds: int = 48):
+    """Nearest-hit / any-hit via grid-DDA wavefront rebinning.
+
+    Same output contract as traverse_stream.intersect_stream: (t, tri, u,
+    v), tri = padded leaf-order index or -1; any_hit flags occlusion with
+    tri >= 0."""
+    return _trace_dda_impl(grid.cell_tab, grid.cell_cl, grid.cl_aabb,
+                           tris_hbm, ray_pos, ray_dir, t_min, t_max,
+                           grid.lo, grid.h, grid.dims,
+                           any_hit, interpret, max_rounds)

@@ -124,13 +124,13 @@ class HRSceneInst:
         self.spp = spp or self.spp
 
     # -- commit (hr2Commit) --------------------------------------------
-    def commit(self, out_dir: str = None):
+    def commit(self, out_dir: str = None, accel: str = 'auto'):
         """Serialize to a Hydra scene library and load it through the
         standard scene builder.  Returns (scene, meta)."""
         from .scene import build as SB
         out_dir = out_dir or tempfile.mkdtemp(prefix='hr2_scene_')
         xml_path = self._write_library(out_dir)
-        scene, meta = SB.load_scene(xml_path, out_dir,
+        scene, meta = SB.load_scene(xml_path, out_dir, accel=accel,
                                     width=self.width, height=self.height)
         self._committed = (scene, meta)
         return scene, meta

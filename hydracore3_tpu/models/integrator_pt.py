@@ -81,6 +81,50 @@ class RayState(NamedTuple):
     hit_inst: jnp.ndarray      # [N] i32
 
 
+def _morton10(q):
+    """Spread 10-bit ints to every 3rd bit (30-bit 3D Morton component)."""
+    q = (q | (q << 16)) & 0x030000FF
+    q = (q | (q << 8)) & 0x0300F00F
+    q = (q | (q << 4)) & 0x030C30C3
+    q = (q | (q << 2)) & 0x09249249
+    return q
+
+
+def _sort_rays_for_trace(state: RayState, orig):
+    """Bounce-ray coherence sort for the streamed big-scene path.
+
+    The streaming Pallas kernel (accel/traverse_stream.py) walks ONE shared
+    BVH cut per [SUB,128]-ray tile, so a tile pays for the UNION of its
+    rays' traversal.  Sorting live rays by (direction octant, origin
+    Morton) packs tiles into tight frusta — measured 2.2x on diffuse-bounce
+    and shadow traces on the 215k-tri city (docs/PERF_NOTES.md r4).  Dead
+    rays sort to the end, giving early-exit tiles for free (the wavefront
+    compaction idea, kmake_wave.json:11, without moving rays between
+    dispatches).
+
+    ``orig`` tracks each row's original position so callers can invert the
+    permutation at pass end.  Returns (state, orig)."""
+    d = state.ray_dir
+    p = state.ray_pos
+    octant = ((d[:, 0] > 0).astype(jnp.int32) * 4
+              + (d[:, 1] > 0).astype(jnp.int32) * 2
+              + (d[:, 2] > 0).astype(jnp.int32))
+    # origin quantized against a fixed 1024^3 lattice of the scene's rough
+    # extent; out-of-range clamps are harmless (key quality only)
+    lo = jnp.min(p, axis=0, keepdims=True)
+    hi = jnp.max(p, axis=0, keepdims=True)
+    q = jnp.clip(((p - lo) / jnp.maximum(hi - lo, 1e-6) * 1023.0), 0, 1023
+                 ).astype(jnp.int32)
+    key = (_morton10(q[:, 0]) | (_morton10(q[:, 1]) << 1)
+           | (_morton10(q[:, 2]) << 2))
+    # octant above morton; dead rays above everything
+    key = key | (octant << 27)
+    key = jnp.where(_is_dead(state.flags), jnp.int32(0x7FFFFFFF), key)
+    perm = jnp.argsort(key)
+    state = jax.tree_util.tree_map(lambda a: a[perm], state)
+    return state, orig[perm]
+
+
 def _intersect_spherical_element(radius, z_center, pos, d):
     """IntersectSphericalElement (integrator_pt.cpp:852-874), batched.
 
@@ -355,15 +399,23 @@ def kernel_ray_trace(scene: Scene, meta: SceneMeta, state: RayState, bounce: int
     else:
         motion = ((scene.tri_dv0, scene.tri_de1, scene.tri_de2, state.time)
                   if meta.has_motion else None)
-        if meta.use_pallas:
-            # Pallas cluster-BVH kernel (accel/traverse_pallas.py) — the
-            # big-static-scene path; interpret mode off-TPU
-            from ..accel import traverse_pallas as TPL
+        if meta.use_pallas or meta.use_stream:
+            # Pallas cluster-BVH kernels: VMEM-resident (traverse_pallas)
+            # up to ~175k tris, HBM-streaming (traverse_stream) beyond —
+            # the sponza-class path; interpret mode off-TPU
             interp = jax.default_backend() != 'tpu'
-            pt, ptri, pu, pv = TPL.intersect_clusters(
-                scene.cl_nodes_f, scene.cl_nodes_i, scene.cl_tris12,
-                state.ray_pos, state.ray_dir, t_min, t_max,
-                interpret=interp)
+            if meta.use_stream:
+                from ..accel import traverse_stream as TST
+                pt, ptri, pu, pv = TST.intersect_stream(
+                    scene.st_nodes_f, scene.st_nodes_i, scene.st_tris,
+                    state.ray_pos, state.ray_dir, t_min, t_max,
+                    interpret=interp)
+            else:
+                from ..accel import traverse_pallas as TPL
+                pt, ptri, pu, pv = TPL.intersect_clusters(
+                    scene.cl_nodes_f, scene.cl_nodes_i, scene.cl_tris12,
+                    state.ray_pos, state.ray_dir, t_min, t_max,
+                    interpret=interp)
             pfound = ptri >= 0
             safe = jnp.maximum(ptri, 0)
             hit = ACC.Hit(
@@ -487,6 +539,14 @@ def kernel_sample_light_source(scene: Scene, meta: SceneMeta, state: RayState,
             jnp.zeros((N,), jnp.float32),
             jnp.where(need_trace, hit_dist * 0.9995, 0.0),
             time=state.time, any_hit=True)
+        occluded = stri >= 0
+    elif meta.use_stream:
+        from ..accel import traverse_stream as TST
+        _, stri, _, _ = TST.intersect_stream(
+            scene.st_nodes_f, scene.st_nodes_i, scene.st_tris,
+            shadow_pos, shadow_dir, jnp.zeros((N,), jnp.float32),
+            jnp.where(need_trace, hit_dist * 0.9995, 0.0),
+            any_hit=True, interpret=jax.default_backend() != 'tpu')
         occluded = stri >= 0
     elif meta.use_pallas:
         from ..accel import traverse_pallas as TPL
@@ -798,10 +858,18 @@ def trace_pass(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
 
     is_mlt = qmc_ctx is not None and 'mlt_rands' in qmc_ctx
 
-    def bounce_body(b, state, b_dyn=None):
+    # streamed big scenes: sort live rays into coherent tiles before every
+    # secondary-bounce trace (see _sort_rays_for_trace); the permutation is
+    # inverted at pass end so callers keep positional accumulation
+    sort_rays = meta.use_stream and qmc_ctx is None and input_state is None
+    orig = jnp.arange(state.flags.shape[0], dtype=jnp.int32)
+
+    def bounce_body(b, state, b_dyn=None, orig=None):
         ctx = qmc_ctx if (b == 0 or is_mlt) else None
         if is_mlt and b_dyn is not None:
             ctx = dict(qmc_ctx, bounce_dyn=b_dyn)
+        if sort_rays and b > 0:
+            state, orig = _sort_rays_for_trace(state, orig)
         state = kernel_ray_trace(scene, meta, state, bounce=b)
         # one shared shading context per bounce: material rows, slot-0
         # texture, bump normal reused by NEE + bounce + emissive branch
@@ -820,7 +888,7 @@ def trace_pass(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
         state = kernel_next_bounce(scene, meta, state, b, shade,
                                    integrator_type, render_layer, ctx,
                                    shading_ctx=sctx)
-        return state
+        return (state, orig) if sort_rays else state
 
     # The bounce loop is fully unrolled: depth is small and static, and a
     # fori_loop would materialize the 17-array RayState carry in HBM at
@@ -830,15 +898,33 @@ def trace_pass(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
     _UNROLL_MAX = 12
     if depth <= _UNROLL_MAX:
         for b in range(depth):
-            state = bounce_body(min(b, 1), state, b_dyn=b) if is_mlt \
-                else bounce_body(b, state)
+            if is_mlt:
+                state = bounce_body(min(b, 1), state, b_dyn=b)
+            elif sort_rays:
+                state, orig = bounce_body(b, state, orig=orig)
+            else:
+                state = bounce_body(b, state)
     else:
-        state = bounce_body(0, state)
+        if sort_rays:
+            state, orig = bounce_body(0, state, orig=orig)
 
-        def body_fn(i, st):
-            return bounce_body(1, st, b_dyn=i)
+            def body_fn(i, carry):
+                return bounce_body(1, carry[0], b_dyn=i, orig=carry[1])
 
-        state = jax.lax.fori_loop(1, depth, body_fn, state)
+            state, orig = jax.lax.fori_loop(1, depth, body_fn, (state, orig))
+        else:
+            state = bounce_body(0, state)
+
+            def body_fn(i, st):
+                return bounce_body(1, st, b_dyn=i)
+
+            state = jax.lax.fori_loop(1, depth, body_fn, state)
+
+    if sort_rays:
+        # restore positional order (callers accumulate framebuffer tiles
+        # positionally): inverse permutation of the composed sorts
+        inv = jnp.argsort(orig)
+        state = jax.tree_util.tree_map(lambda a: a[inv], state)
 
     state = kernel_hit_environment(scene, meta, state, integrator_type,
                                    out_pixels)

@@ -122,9 +122,16 @@ def ray_trace(scene: Scene, meta: SceneMeta, pixel_ids):
         tex_color = TEX.sample(scene.textures,
                                MAT._clamp_tex(scene, scene.mat_texid[mat_id][..., 0]), tc_t)
         light_intensity = scene.mat_colors[mat_id][..., GLTF_COLOR_BASE, :3] * tex_color[..., :3]
-        atten = jnp.where(ray_dir[..., 1] < 0.0, 1.0, 0.0)  # dot(dir, (0,-1,0)) < 0
-        # reference: atten 1 when material has no lightId
-        has_lid = False  # mat light id table: treat like reference default
+        # attenuation from the INSTANCED light's normal (integrator_rt.cpp:
+        # 222-243: lightCos = dot(ray_dir, light.norm), atten = lightCos < 0
+        # ? 1 : 0 when the instance maps to a light, else 1) — the light id
+        # comes through remap_inst like the PT path, so rotated lights work
+        lgt_id = scene.remap_inst[
+            jnp.clip(inst, 0, scene.remap_inst.shape[0] - 1)][..., 1]
+        has_lid = lgt_id >= 0
+        lnorm_hit = scene.light_norm[jnp.maximum(lgt_id, 0)][..., :3]
+        light_cos = LM.dot(ray_dir, lnorm_hit)
+        atten = jnp.where(has_lid, jnp.where(light_cos < 0.0, 1.0, 0.0), 1.0)
         accum_l = accum.at[..., :3].add(
             jnp.where((live & is_light)[..., None],
                       throughput[..., :3] * light_intensity * atten[..., None], 0.0))

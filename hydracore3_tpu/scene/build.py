@@ -568,6 +568,9 @@ class SceneMeta:
     # Pallas cluster-BVH traversal kernel for large static soups
     # (accel/traverse_pallas.py); False -> brute / while-BVH
     use_pallas: bool = False
+    # HBM-streaming Pallas traversal (accel/traverse_stream.py): no VMEM
+    # triangle cap — the sponza-class (262k+ tris) scene path
+    use_stream: bool = False
     cam_lens_radius: float = 0.0
     cam_target_dist: float = 10.0
     exposure_mult: float = 1.0
@@ -717,6 +720,13 @@ class Scene:
     cl_nodes_f: jnp.ndarray = None
     cl_nodes_i: jnp.ndarray = None
     cl_tris12: jnp.ndarray = None
+    # HBM-streaming cluster-BVH arrays (traverse_stream.pack_stream_bvh):
+    # nodes VMEM-resident in-kernel, Woop triangle clusters streamed from
+    # HBM.  Soup arrays are PADDED to C*TBK rows in leaf-cluster order so
+    # the kernel's padded tri index gathers directly.
+    st_nodes_f: jnp.ndarray = None
+    st_nodes_i: jnp.ndarray = None
+    st_tris: jnp.ndarray = None
 
     # static: True when every packed int fits f32's 24-bit mantissa, so int
     # rows may ride the one-hot MXU gather exactly (ops/gather.py)
@@ -1064,6 +1074,38 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
     proj_inv = np.linalg.inv(proj).astype(np.float32)
     world_view_inv = np.linalg.inv(world_view).astype(np.float32)
 
+    def _custom_geom_box(node):
+        """AABB stand-in mesh for custom geometry (see loop below)."""
+        def vec3(attr, default):
+            raw = node.get(attr)
+            if not raw:
+                return np.array(default, np.float32)
+            return np.array([float(x) for x in raw.split()][:3], np.float32)
+
+        lo = vec3('bbox_min', (-0.5, -0.5, -0.5))
+        hi = vec3('bbox_max', (0.5, 0.5, 0.5))
+        corners = np.array([[lo[0], lo[1], lo[2]], [hi[0], lo[1], lo[2]],
+                            [lo[0], hi[1], lo[2]], [hi[0], hi[1], lo[2]],
+                            [lo[0], lo[1], hi[2]], [hi[0], lo[1], hi[2]],
+                            [lo[0], hi[1], hi[2]], [hi[0], hi[1], hi[2]]],
+                           np.float32)
+        faces = np.array([  # outward CCW box faces
+            [0, 2, 3], [0, 3, 1], [4, 5, 7], [4, 7, 6],
+            [0, 1, 5], [0, 5, 4], [2, 6, 7], [2, 7, 3],
+            [0, 4, 6], [0, 6, 2], [1, 3, 7], [1, 7, 5]], np.int64)
+        v_pos = np.concatenate([corners, np.ones((8, 1), np.float32)], 1)
+        n = np.zeros((8, 4), np.float32)
+        c = (lo + hi) * 0.5
+        nrm = corners - c[None]
+        nl = np.linalg.norm(nrm, axis=1, keepdims=True)
+        n[:, :3] = nrm / np.maximum(nl, 1e-9)
+        mat_id = int(node.get('mat_id', '0'))
+        return vsgf.SimpleMesh(
+            v_pos=v_pos, v_norm=n, v_tang=np.zeros((8, 4), np.float32),
+            v_texc=np.zeros((8, 2), np.float32),
+            indices=faces.reshape(-1).astype(np.uint32),
+            mat_indices=np.full(12, mat_id, np.uint32))
+
     # ---- geometry (LoadSceneGeometry, integrator_pt_scene.cpp:727-837) ----
     meshes = []
     tri_indices = []
@@ -1073,7 +1115,17 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
     tri_off = 0
     vert_off = 0
     for mi in xml.geom_nodes():
-        mesh = vsgf.load_vsgf(mi.path)
+        if mi.tag != 'mesh':
+            # custom (non-mesh) geometry passthrough (integrator_pt_scene.
+            # cpp:818-831): the reference registers an opaque AABB prim via
+            # AddCustomGeom_FromFile with ONE material id and a fake
+            # triangle.  We stand in a 12-triangle box over the declared
+            # bounds (bbox attributes when present, else a unit box) so
+            # such scenes LOAD and the prim shades with its material
+            # (gray lambert by default) instead of erroring out.
+            mesh = _custom_geom_box(mi.node)
+        else:
+            mesh = vsgf.load_vsgf(mi.path)
         meshes.append(mesh)
         mat_vert_offset.append((tri_off, vert_off))
         tri_indices.append(mesh.indices)
@@ -1213,7 +1265,10 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
     # Pallas cluster kernel for big static soups (nodes+tris fit VMEM,
     # no per-triangle motion; see docs/PERF_NOTES.md 'Traversal strategy')
     from ..accel import traverse_pallas as TPL
-    use_pallas = (not has_motion and not use_two_level
+    use_stream = (accel == 'stream'
+                  or (accel == 'auto' and not has_motion and not use_two_level
+                      and len(soup_v0) > TPL.VMEM_TRI_LIMIT))
+    use_pallas = (not has_motion and not use_two_level and not use_stream
                   and 4096 <= len(soup_v0) <= TPL.VMEM_TRI_LIMIT)
     cl_arrays = None
     if use_pallas:
@@ -1226,7 +1281,34 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         soup_shade, soup_mat = soup_shade[order], soup_mat[order]
         cl_arrays = TPL.pack_cluster_bvh(cbvh, soup_v0, soup_e1, soup_e2)
 
-    if len(soup_v0) > 0 and not use_pallas:
+    # HBM-streaming Pallas traversal for soups past the VMEM cap — the
+    # sponza-class path (accel/traverse_stream.py).  Soup arrays are
+    # reordered into PADDED leaf-cluster order (C*TBK rows); padding rows
+    # are degenerate (zero edges) so brute/gbuffer paths never hit them.
+    st_arrays = None
+    if use_stream:
+        from ..accel import traverse_stream as TST
+        cbvh = build_bvh.build(soup_v0, soup_e1, soup_e2, max_leaf=TST.TBK)
+        order = cbvh.order
+        soup_v0, soup_e1, soup_e2 = soup_v0[order], soup_e1[order], soup_e2[order]
+        soup_inst, soup_geom, soup_prim = (soup_inst[order], soup_geom[order],
+                                           soup_prim[order])
+        soup_shade, soup_mat = soup_shade[order], soup_mat[order]
+        st_nf, st_ni, st_tris, order_padded = TST.pack_stream_bvh(
+            cbvh, soup_v0, soup_e1, soup_e2)
+        sel = np.maximum(order_padded, 0)
+        pad_rows = order_padded < 0
+        soup_v0, soup_e1, soup_e2 = soup_v0[sel], soup_e1[sel], soup_e2[sel]
+        soup_v0[pad_rows] = 0.0
+        soup_e1[pad_rows] = 0.0
+        soup_e2[pad_rows] = 0.0
+        soup_inst, soup_geom, soup_prim = (soup_inst[sel], soup_geom[sel],
+                                           soup_prim[sel])
+        soup_shade, soup_mat = soup_shade[sel].copy(), soup_mat[sel]
+        soup_shade[pad_rows] = 0.0
+        st_arrays = (st_nf, st_ni, st_tris)
+
+    if len(soup_v0) > 0 and not use_pallas and not use_stream:
         motion_end = ((soup_v0 + soup_dv0, soup_e1 + soup_de1,
                        soup_e2 + soup_de2) if has_motion and len(soup_dv0)
                       else None)
@@ -1440,6 +1522,9 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         cl_nodes_f=None if cl_arrays is None else jnp.asarray(cl_arrays[0]),
         cl_nodes_i=None if cl_arrays is None else jnp.asarray(cl_arrays[1]),
         cl_tris12=None if cl_arrays is None else jnp.asarray(cl_arrays[2]),
+        st_nodes_f=None if st_arrays is None else jnp.asarray(st_arrays[0]),
+        st_nodes_i=None if st_arrays is None else jnp.asarray(st_arrays[1]),
+        st_tris=None if st_arrays is None else jnp.asarray(st_arrays[2]),
         ints_exact=bool(np.abs(np.asarray(mat_pi, np.int64)).max(initial=0) < 2**24
                         and np.abs(np.asarray(lgt_pi, np.int64)).max(initial=0) < 2**24),
     )
@@ -1453,6 +1538,7 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         has_spd_tex=has_spd_tex, spd_tex_max_sz=spd_tex_max_sz,
         use_two_level=use_two_level,
         use_pallas=use_pallas,
+        use_stream=use_stream,
         cam_response_type=cam_response_type,
         has_cam_response_spectra=any(i >= 0 for i in cam_response_ids),
         has_blend=MAT_TYPE_BLEND in mat_types_present,

@@ -89,6 +89,9 @@ class MeshInfo:
     mesh_id: int
     path: str
     node: etree._Element
+    # node tag: 'mesh' -> .vsgf; anything else is CUSTOM geometry
+    # (integrator_pt_scene.cpp:818-831 AddCustomGeom_FromFile path)
+    tag: str = 'mesh'
 
 
 @dataclasses.dataclass
@@ -208,7 +211,7 @@ class HydraScene:
             res.append(MeshInfo(
                 mesh_id=int(node.get('id', '0')),
                 path=os.path.join(self.scene_dir, loc),
-                node=node))
+                node=node, tag=str(node.tag)))
         return res
 
     def light_nodes(self) -> list[etree._Element]:

@@ -1,0 +1,155 @@
+"""Synthetic large-scene generator (the sponza-class benchmark scene).
+
+The reference's perf baseline is defined on ~262k-triangle scenes (sponza /
+cry_sponza, testing/perf.txt:2-8) which are not shipped in-repo; this module
+synthesizes a deterministic scene of the same class — a city block grid with
+subdivided building boxes, a ground plane and one large overhead area light —
+through the in-process API (api.py, the hydra_api analog), so the big-scene
+benchmark and its correctness tests are reproducible from the repo alone.
+
+The default city uses only diffuse/emissive materials and constant textures:
+intentionally megakernel-eligible (models/megakernel.py supported()), so the
+big-scene fast path exercises the full Pallas pipeline with the streamed
+BVH trace rather than a special-cased benchmark kernel.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_CACHE = {}
+
+
+def _box(cx, cz, w, d, h, subdiv=3):
+    """Axis-aligned building box [cx±w, 0..h, cz±d], each face subdivided
+    subdiv x subdiv; returns (pos [V,3], idx [T,3]) with +y up."""
+    quads = []   # (origin, edge_u, edge_v)
+    x0, x1 = cx - w, cx + w
+    z0, z1 = cz - d, cz + d
+    # walls (outward-facing CCW)
+    quads.append(((x0, 0, z1), (x1 - x0, 0, 0), (0, h, 0)))     # front +z
+    quads.append(((x1, 0, z0), (x0 - x1, 0, 0), (0, h, 0)))     # back -z
+    quads.append(((x1, 0, z1), (0, 0, z0 - z1), (0, h, 0)))     # right +x
+    quads.append(((x0, 0, z0), (0, 0, z1 - z0), (0, h, 0)))     # left -x
+    quads.append(((x0, h, z1), (x1 - x0, 0, 0), (0, 0, z0 - z1)))  # roof
+    pos = []
+    idx = []
+    for (o, eu, ev) in quads:
+        o = np.array(o, np.float32)
+        eu = np.array(eu, np.float32)
+        ev = np.array(ev, np.float32)
+        base = len(pos)
+        n = subdiv + 1
+        for j in range(n):
+            for i in range(n):
+                pos.append(o + eu * (i / subdiv) + ev * (j / subdiv))
+        for j in range(subdiv):
+            for i in range(subdiv):
+                a = base + j * n + i
+                b = a + 1
+                c = a + n
+                dd = c + 1
+                idx.append((a, b, dd))
+                idx.append((a, dd, c))
+    return np.array(pos, np.float32), np.array(idx, np.int64)
+
+
+def _ground(half, subdiv):
+    pos = []
+    idx = []
+    n = subdiv + 1
+    for j in range(n):
+        for i in range(n):
+            pos.append((-half + 2 * half * i / subdiv, 0.0,
+                        -half + 2 * half * j / subdiv))
+    for j in range(subdiv):
+        for i in range(subdiv):
+            a = j * n + i
+            b = a + 1
+            c = a + n
+            d = c + 1
+            idx.append((a, d, b))
+            idx.append((a, c, d))
+    return np.array(pos, np.float32), np.array(idx, np.int64)
+
+
+def build_city(n_blocks: int = 48, subdiv: int = 3, seed: int = 7,
+               width: int = 1024, height: int = 1024, depth: int = 5,
+               ground_subdiv: int = 64):
+    """Assemble the city as an HRSceneInst (not yet committed).
+
+    n_blocks=48, subdiv=3 gives ~48^2 * 90 + ground ~= 262k triangles —
+    the cry_sponza class.  Deterministic in (n_blocks, subdiv, seed)."""
+    from .. import api
+    rng = np.random.default_rng(seed)
+    hr = api.hr2_create_scene()
+
+    m_ground = hr.material_create(name='ground',
+                                  diffuse_color=(0.30, 0.30, 0.32))
+    palette = [(0.65, 0.55, 0.45), (0.55, 0.60, 0.70), (0.70, 0.45, 0.40),
+               (0.50, 0.65, 0.50), (0.75, 0.70, 0.60), (0.45, 0.50, 0.60)]
+    m_walls = [hr.material_create(name=f'wall{i}', diffuse_color=c)
+               for i, c in enumerate(palette)]
+
+    # city extent: blocks on an 8-unit pitch, streets between
+    pitch = 8.0
+    half = n_blocks * pitch * 0.5 + 20.0
+    all_pos = []
+    all_idx = []
+    all_mat = []
+    gp, gi = _ground(half, ground_subdiv)
+    all_pos.append(gp)
+    all_idx.append(gi)
+    all_mat.append(np.full(len(gi), m_ground, np.uint32))
+    voff = len(gp)
+    for by in range(n_blocks):
+        for bx in range(n_blocks):
+            cx = (bx - n_blocks / 2 + 0.5) * pitch
+            cz = (by - n_blocks / 2 + 0.5) * pitch
+            w = rng.uniform(2.0, 3.2)
+            d = rng.uniform(2.0, 3.2)
+            h = rng.uniform(4.0, 28.0)
+            p, i = _box(cx + rng.uniform(-0.8, 0.8),
+                        cz + rng.uniform(-0.8, 0.8), w, d, h, subdiv)
+            all_pos.append(p)
+            all_idx.append(i + voff)
+            m = m_walls[int(rng.integers(len(m_walls)))]
+            all_mat.append(np.full(len(i), m, np.uint32))
+            voff += len(p)
+    pos = np.concatenate(all_pos)
+    idx = np.concatenate(all_idx).reshape(-1)
+    mats = np.concatenate(all_mat)
+    hr.mesh_from_data(pos, idx, mat_indices=mats)
+    hr.instance_add(0)
+
+    # one big overhead area light (the 'sun'): high above the city center,
+    # large enough that NEE samples spread over the whole city
+    lm = np.eye(4, dtype=np.float32)
+    lm[1, 3] = 60.0
+    hr.light_area(color=(1.0, 1.0, 1.0), multiplier=16.0,
+                  half_width=40.0, half_length=40.0, matrix=lm)
+
+    # street-level-ish camera looking down an avenue
+    hr.camera_set(fov=60.0, pos=(0.0, 14.0, half * 0.92),
+                  look_at=(0.0, 4.0, 0.0), up=(0.0, 1.0, 0.0),
+                  near=0.1, far=1000.0)
+    hr.settings_set(width=width, height=height, depth=depth, spp=64)
+    return hr
+
+
+def city_scene(n_blocks: int = 48, subdiv: int = 3, seed: int = 7,
+               width: int = 1024, height: int = 1024, depth: int = 5,
+               ground_subdiv: int = 64, accel: str = 'auto',
+               cache_dir: str = None):
+    """Commit (and memoize) the city scene; returns (scene, meta)."""
+    key = (n_blocks, subdiv, seed, width, height, depth, ground_subdiv, accel)
+    if key in _CACHE:
+        return _CACHE[key]
+    hr = build_city(n_blocks, subdiv, seed, width, height, depth,
+                    ground_subdiv)
+    out_dir = cache_dir or os.path.join(
+        '/tmp', f'hydra_city_{n_blocks}_{subdiv}_{seed}_{ground_subdiv}')
+    scene, meta = hr.commit(out_dir, accel=accel)
+    _CACHE[key] = (scene, meta)
+    return scene, meta

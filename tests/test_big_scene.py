@@ -1,0 +1,81 @@
+"""Big-scene (streamed-BVH) end-to-end correctness.
+
+A small synthetic city is traced twice over the SAME committed scene — the
+HBM-streaming Pallas traversal (interpret mode on CPU) vs the brute-force
+oracle accel — by flipping meta.use_stream.  Same soup order, same RNG,
+same shading: the single-sample radiance must agree to f32 intersection
+numerics (Woop vs Moller), and the per-ray liveness flags must agree except
+for knife-edge barycentric boundary flips.
+
+(Comparing two separately-loaded scenes is deliberately avoided: the two
+accel builds order the triangle soup differently, so equal-t ties at shared
+edges pick different winners, which flips masked-RNG draws and decorrelates
+the noise — same expectation, different samples.)
+
+The full 262k-tri city is exercised on real TPU by bench.py (the
+sponza-class benchmark the reference's perf baseline is defined on,
+/root/reference/testing/perf.txt:2-8).
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hydracore3_tpu.scene import synth
+from hydracore3_tpu.models import integrator_pt as IPT
+from hydracore3_tpu.ops import rng as RNG
+
+pytestmark = pytest.mark.heavy  # full-render compile: run via `pytest -m heavy`
+
+CITY_KW = dict(n_blocks=4, subdiv=1, seed=3, width=48, height=32, depth=3,
+               ground_subdiv=8)
+
+
+@pytest.fixture(scope='module')
+def city(tmp_path_factory):
+    base = tmp_path_factory.mktemp('city')
+    return synth.city_scene(**CITY_KW, accel='stream',
+                            cache_dir=str(base / 's'))
+
+
+def test_city_uses_stream(city):
+    scene, meta = city
+    assert meta.use_stream and not meta.use_pallas
+    assert scene.st_tris is not None
+    # padded cluster-ordered soup
+    from hydracore3_tpu.accel import traverse_stream as TS
+    assert scene.tri_v0.shape[0] == scene.st_tris.shape[0] * TS.TBK
+
+
+def test_stream_pass_matches_brute_same_scene(city):
+    scene, meta = city
+    meta_brute = dataclasses.replace(meta, use_stream=False)
+    N = meta.width * meta.height
+    pix = jnp.arange(N, dtype=jnp.int32)
+
+    def one(m):
+        r = RNG.gen_init(pix)
+        acc, _, fl, r2, _ = IPT.trace_pass(scene, m, r, pix,
+                                           IPT.INTEGRATOR_MIS_PT,
+                                           IPT.FB_COLOR, None)
+        return np.asarray(acc), np.asarray(fl), np.asarray(r2)
+
+    acc_s, fl_s, rng_s = one(meta)
+    acc_b, fl_b, rng_b = one(meta_brute)
+    np.testing.assert_allclose(acc_s, acc_b, rtol=1e-4, atol=1e-4)
+    # knife-edge barycentric flips may change liveness on isolated rays
+    flag_agree = (fl_s == fl_b).mean()
+    assert flag_agree > 0.999, f'flags agree only {flag_agree:.4%}'
+    assert (rng_s == rng_b).all(axis=1).mean() > 0.999
+
+
+def test_padded_soup_is_degenerate(city):
+    """Padding rows in the leaf-cluster-ordered soup must never produce
+    hits (zero edges) and shade rows are zeroed."""
+    scene, meta = city
+    e1 = np.asarray(scene.tri_e1)
+    e2 = np.asarray(scene.tri_e2)
+    pad = (np.linalg.norm(e1, axis=1) == 0) & (np.linalg.norm(e2, axis=1) == 0)
+    assert pad.any(), 'expected some padding rows in cluster order'
+    assert np.asarray(scene.tri_shade)[pad].max(initial=0.0) == 0.0

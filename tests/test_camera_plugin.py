@@ -13,6 +13,8 @@ import jax.numpy as jnp
 from hydracore3_tpu import camera_plugin as CP
 from hydracore3_tpu import render as R
 
+pytestmark = pytest.mark.heavy  # full-render compile: run via `pytest -m heavy`
+
 
 def _psnr(a, b):
     mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)

@@ -1,0 +1,133 @@
+"""Grid-DDA wavefront traversal vs the brute-force oracle.
+
+Interpret mode on CPU; real-TPU throughput is measured by bench.py and
+scripts/bench_traversal.py.  The DDA path reuses the streamed kernel's
+Woop cluster blocks, so numerics match traverse_stream (Woop f32).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hydracore3_tpu.accel import build_bvh
+from hydracore3_tpu.accel import traverse as TRV
+from hydracore3_tpu.accel import traverse_stream as TS
+from hydracore3_tpu.accel import traverse_dda as TD
+
+
+def build_all(v0, e1, e2):
+    bvh = build_bvh.build(v0, e1, e2, max_leaf=TS.TBK)
+    order = bvh.order
+    v0o, e1o, e2o = v0[order], e1[order], e2[order]
+    nodes_f, nodes_i, tris_hbm, order_padded = TS.pack_stream_bvh(
+        bvh, v0o, e1o, e2o)
+    grid = TD.pack_grid(nodes_f, nodes_i)
+    return grid, jnp.asarray(tris_hbm), order_padded, (v0o, e1o, e2o)
+
+
+def random_scene(rng, n_tris, spread=4.0):
+    v0 = rng.uniform(-spread, spread, (n_tris, 3)).astype(np.float32)
+    e1 = rng.uniform(-0.5, 0.5, (n_tris, 3)).astype(np.float32)
+    e2 = rng.uniform(-0.5, 0.5, (n_tris, 3)).astype(np.float32)
+    return v0, e1, e2
+
+
+@pytest.mark.parametrize('n_tris,n_rays', [(300, 1024), (2000, 1500)])
+def test_dda_vs_brute(n_tris, n_rays):
+    rng = np.random.default_rng(23 + n_tris)
+    v0, e1, e2 = random_scene(rng, n_tris)
+    grid, tris_hbm, order_padded, (v0o, e1o, e2o) = build_all(v0, e1, e2)
+
+    pos = rng.uniform(-6, 6, (n_rays, 3)).astype(np.float32)
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    pos, d = jnp.asarray(pos), jnp.asarray(d)
+    tmin = jnp.zeros((n_rays,))
+    tmax = jnp.full((n_rays,), 1e30)
+
+    t, tri, u, v = TD.intersect_dda(grid, tris_hbm, pos, d, tmin, tmax,
+                                    interpret=True)
+    ref = TRV.intersect_brute(
+        jnp.asarray(v0o), jnp.asarray(e1o), jnp.asarray(e2o),
+        jnp.zeros(n_tris, jnp.int32), jnp.zeros(n_tris, jnp.int32),
+        jnp.arange(n_tris, dtype=jnp.int32),
+        pos, d, tmin, tmax)
+    hit_s = np.asarray(tri) >= 0
+    hit_r = np.asarray(ref.t) < 1e29
+    np.testing.assert_array_equal(hit_s, hit_r)
+    np.testing.assert_allclose(np.asarray(t)[hit_s],
+                               np.asarray(ref.t)[hit_r],
+                               rtol=2e-4, atol=1e-5)
+    leaf_idx = order_padded[np.asarray(tri)[hit_s]]
+    assert (leaf_idx >= 0).all()
+
+
+def test_dda_any_hit_and_range():
+    rng = np.random.default_rng(5)
+    v0, e1, e2 = random_scene(rng, 800)
+    grid, tris_hbm, order_padded, (v0o, e1o, e2o) = build_all(v0, e1, e2)
+    n = 1024
+    pos = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    pos, d = jnp.asarray(pos), jnp.asarray(d)
+    tmin = jnp.zeros((n,))
+    # finite shadow-style range: occlusion must respect tmax
+    tmax = jnp.full((n,), 3.0)
+    _, tri, _, _ = TD.intersect_dda(grid, tris_hbm, pos, d, tmin, tmax,
+                                    any_hit=True, interpret=True)
+    ref = TRV.intersect_brute(
+        jnp.asarray(v0o), jnp.asarray(e1o), jnp.asarray(e2o),
+        jnp.zeros(800, jnp.int32), jnp.zeros(800, jnp.int32),
+        jnp.arange(800, dtype=jnp.int32),
+        pos, d, tmin, tmax)
+    occ_s = np.asarray(tri) >= 0
+    occ_r = np.asarray(ref.t) < 1e29
+    np.testing.assert_array_equal(occ_s, occ_r)
+
+
+def test_dda_matches_stream_on_city_soup():
+    """Cross-check the two big-scene tracers against each other on
+    structured (wall/ground) geometry with grazing rays."""
+    from hydracore3_tpu.scene import synth
+    rng = np.random.default_rng(0)
+    pos_l, idx_l = [], []
+    gp, gi = synth._ground(30.0, 8)
+    pos_l.append(gp)
+    idx_l.append(gi)
+    voff = len(gp)
+    for bx in range(4):
+        for by in range(4):
+            p, i = synth._box((bx - 2) * 12 + 6, (by - 2) * 12 + 6,
+                              3.0, 3.0, rng.uniform(4, 20), 2)
+            pos_l.append(p)
+            idx_l.append(i + voff)
+            voff += len(p)
+    P = np.concatenate(pos_l)
+    I = np.concatenate(idx_l)
+    v0 = P[I[:, 0]].astype(np.float32)
+    e1 = (P[I[:, 1]] - P[I[:, 0]]).astype(np.float32)
+    e2 = (P[I[:, 2]] - P[I[:, 0]]).astype(np.float32)
+    grid, tris_hbm, _, _ = build_all(v0, e1, e2)
+    bvh = build_bvh.build(v0, e1, e2, max_leaf=TS.TBK)
+    order = bvh.order
+    nodes_f, nodes_i, tris_hbm2, _ = TS.pack_stream_bvh(
+        bvh, v0[order], e1[order], e2[order])
+
+    n = 1024
+    pos = rng.uniform(-25, 25, (n, 3)).astype(np.float32)
+    pos[:, 1] = rng.uniform(0.5, 25, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    pos, d = jnp.asarray(pos), jnp.asarray(d)
+    tmin = jnp.zeros((n,))
+    tmax = jnp.full((n,), 1e30)
+    t1, tri1, u1, v1 = TD.intersect_dda(grid, tris_hbm, pos, d, tmin, tmax,
+                                        interpret=True)
+    t2, tri2, u2, v2 = TS.intersect_stream(
+        jnp.asarray(nodes_f), jnp.asarray(nodes_i), jnp.asarray(tris_hbm2),
+        pos, d, tmin, tmax, interpret=True)
+    h1 = np.asarray(tri1) >= 0
+    h2 = np.asarray(tri2) >= 0
+    np.testing.assert_array_equal(h1, h2)
+    np.testing.assert_allclose(np.asarray(t1)[h1], np.asarray(t2)[h2],
+                               rtol=1e-5, atol=1e-6)

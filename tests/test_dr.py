@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.heavy  # full-render compile: run via `pytest -m heavy`
+
 
 @pytest.fixture(scope='module')
 def dr_setup():

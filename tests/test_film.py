@@ -11,6 +11,8 @@ import xml.etree.ElementTree as ET
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # full-render compile: run via `pytest -m heavy`
+
 CORNELL = '/root/reference/scenes/test_035/statex_00001.xml'
 
 

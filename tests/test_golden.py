@@ -19,6 +19,8 @@ import pytest
 from hydracore3_tpu.scene import build as SB
 from hydracore3_tpu import render as R
 
+pytestmark = pytest.mark.heavy  # full-render compile: run via `pytest -m heavy`
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), 'goldens')
 SCENES = '/root/reference/scenes'
 

@@ -18,6 +18,8 @@ from hydracore3_tpu.models import integrator_pt as IPT
 from hydracore3_tpu import render as R
 from hydracore3_tpu.ops import rng as RNG
 
+pytestmark = pytest.mark.heavy  # full-render compile: run via `pytest -m heavy`
+
 CORNELL = '/root/reference/scenes/test_035/statex_00001.xml'
 W, H = 64, 32
 

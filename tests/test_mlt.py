@@ -3,6 +3,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.heavy  # full-render compile: run via `pytest -m heavy`
+
 
 def test_mutate_kelemen_range():
     from hydracore3_tpu.models.kmlt import mutate_kelemen

@@ -3,6 +3,9 @@
 motion_test.xml end-to-end render."""
 import numpy as np
 import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.heavy  # full-render compile: run via `pytest -m heavy`
 
 MOTION_XML = '/root/reference/scenes/test_035/motion_test.xml'
 

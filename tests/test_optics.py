@@ -7,6 +7,8 @@ source on the axis collimates; an aperture stop culls off-axis rays.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # full-render compile: run via `pytest -m heavy`
+
 
 def _meta_with_lens(lines, phys=(0.036, 0.024)):
     from hydracore3_tpu.scene.build import SceneMeta

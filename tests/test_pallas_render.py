@@ -14,6 +14,8 @@ from hydracore3_tpu import api as HR
 from hydracore3_tpu.scene import build as SB
 from hydracore3_tpu import render as R
 
+pytestmark = pytest.mark.heavy  # full-render compile: run via `pytest -m heavy`
+
 
 def tessellated_quad(n, y, scale=4.0, flip=False):
     """n x n grid in the XZ plane at height y -> 2*n*n triangles."""

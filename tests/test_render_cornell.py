@@ -8,6 +8,8 @@ reference goldens are generated).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # full-render compile: run via `pytest -m heavy`
+
 
 @pytest.fixture(scope='module')
 def small_render(cornell_scene):

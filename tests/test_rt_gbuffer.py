@@ -3,6 +3,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.heavy  # full-render compile: run via `pytest -m heavy`
+
 
 def test_cast_single_ray(cornell_scene):
     from hydracore3_tpu.models import integrator_rt as IRT

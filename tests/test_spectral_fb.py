@@ -7,6 +7,8 @@ from hydracore3_tpu.scene import build as SB
 from hydracore3_tpu import render as R
 from hydracore3_tpu.utils import imageio as IIO
 
+pytestmark = pytest.mark.heavy  # full-render compile: run via `pytest -m heavy`
+
 SPECTRAL_SCENE = ('/root/reference/scenes/test_spectral/'
                   'spectral_cornell_conductor.xml')
 

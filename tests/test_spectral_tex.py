@@ -17,6 +17,8 @@ from hydracore3_tpu.scene import build as SB
 from hydracore3_tpu.bsdf import dispatch as MAT
 from hydracore3_tpu import render as R
 
+pytestmark = pytest.mark.heavy  # full-render compile: run via `pytest -m heavy`
+
 
 def write_image4ub(path, value_rgb):
     """1x1 .image4ub chunk: int32 w,h then RGBA bytes."""
