@@ -467,3 +467,306 @@ def intersect_dda(grid: GridPack, tris_hbm, ray_pos, ray_dir, t_min, t_max,
                            tris_hbm, ray_pos, ray_dir, t_min, t_max,
                            grid.lo, grid.h, grid.dims,
                            any_hit, interpret, max_rounds)
+
+
+# ===========================================================================
+# v2: in-kernel marching (sort-free after the integrator's per-bounce
+# octant/Morton sort).  The v1 per-round XLA rebinning loses to its own
+# argsort+gather overhead (docs/PERF_NOTES.md r4); v2 keeps the whole march
+# inside one kernel: cell ids and exit-t are per-lane VECTOR math, the
+# tile processes the union of its lanes' current cells per step (small for
+# Morton-sorted tiles), and there is NO per-node scalar walk at all — the
+# BVH's weakness was 0.6 us per node-step, dominated by scalar loads and
+# the cross-lane any() reduce.
+# ===========================================================================
+
+MARCH_MAX = 192     # hard cap on in-kernel march iterations (safety)
+
+
+def _march_kernel(cell_tab_ref, cell_cl_ref, cl_aabb_ref, tris_hbm_ref,
+                  rays_ref, out_t_ref, out_tri_ref, out_u_ref, out_v_ref,
+                  queue_ref, buf_ref, sem_ref, *, any_hit: bool,
+                  lo: tuple, h: tuple, dims: tuple):
+    px = rays_ref[0, 0]
+    py = rays_ref[0, 1]
+    pz = rays_ref[0, 2]
+    dx = rays_ref[0, 3]
+    dy = rays_ref[0, 4]
+    dz = rays_ref[0, 5]
+    tmin = rays_ref[0, 6]
+    tmax = rays_ref[0, 7]
+
+    big = jnp.float32(1e30)
+    ix = jnp.where(jnp.abs(dx) > 1e-20, 1.0 / dx, big)
+    iy = jnp.where(jnp.abs(dy) > 1e-20, 1.0 / dy, big)
+    iz = jnp.where(jnp.abs(dz) > 1e-20, 1.0 / dz, big)
+
+    R = TILE
+    ones_r = jnp.ones((R,), jnp.float32)
+    rhs_o = jnp.stack([px.reshape(R), py.reshape(R), pz.reshape(R), ones_r])
+    rhs_d = jnp.stack([dx.reshape(R), dy.reshape(R), dz.reshape(R),
+                       jnp.zeros((R,), jnp.float32)])
+    tminw = tmin.reshape(1, R)
+    want = tmax.reshape(1, R) > tminw
+
+    lo0, lo1, lo2 = (jnp.float32(v) for v in lo)
+    h0, h1, h2 = (jnp.float32(v) for v in h)
+    d0, d1, d2 = dims
+    dxy = jnp.int32(d1 * d2)
+    dz_ = jnp.int32(d2)
+    eps = jnp.float32(1e-4 * min(h))
+
+    # grid-box entry interval (per lane)
+    def axis_t(p, inv, l, hh, n):
+        t0 = (l - p) * inv
+        t1 = (l + hh * n - p) * inv
+        return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+
+    ax0, bx0 = axis_t(px, ix, lo0, h0, d0)
+    ay0, by0 = axis_t(py, iy, lo1, h1, d1)
+    az0, bz0 = axis_t(pz, iz, lo2, h2, d2)
+    tn_box = jnp.maximum(jnp.maximum(ax0, ay0), jnp.maximum(az0, tmin))
+    tf_box = jnp.minimum(jnp.minimum(bx0, by0), bz0)
+    miss_box = (tn_box > tf_box) | (tf_box < tmin)
+
+    def slab_cluster(cslot, best_t):
+        bx0_ = cl_aabb_ref[cslot, 0]
+        by0_ = cl_aabb_ref[cslot, 1]
+        bz0_ = cl_aabb_ref[cslot, 2]
+        bx1_ = cl_aabb_ref[cslot, 3]
+        by1_ = cl_aabb_ref[cslot, 4]
+        bz1_ = cl_aabb_ref[cslot, 5]
+        t0x = (bx0_ - px) * ix
+        t1x = (bx1_ - px) * ix
+        t0y = (by0_ - py) * iy
+        t1y = (by1_ - py) * iy
+        t0z = (bz0_ - pz) * iz
+        t1z = (bz1_ - pz) * iz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.maximum(jnp.minimum(t0z, t1z), tmin))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.minimum(jnp.maximum(t0z, t1z), best_t))
+        return jnp.any(tn <= tf)
+
+    def get_dma(slot, cluster):
+        return pltpu.make_async_copy(
+            tris_hbm_ref.at[cluster], buf_ref.at[slot], sem_ref.at[slot])
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def intersect_cluster(slot, cslot, carry):
+        best_t, best_i, best_u, best_v = carry
+        w = buf_ref[slot]
+        dn = (((0,), (0,)), ((), ()))
+        po = jax.lax.dot_general(w, rhs_o, dn, precision=hi,
+                                 preferred_element_type=jnp.float32)
+        pd = jax.lax.dot_general(w, rhs_d, dn, precision=hi,
+                                 preferred_element_type=jnp.float32)
+        t = -po[2 * TBK:3 * TBK] / pd[2 * TBK:3 * TBK]
+        u = po[0 * TBK:1 * TBK] + t * pd[0 * TBK:1 * TBK]
+        v = po[1 * TBK:2 * TBK] + t * pd[1 * TBK:2 * TBK]
+        valid = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                 & (t > tminw) & (t < best_t))
+        if any_hit:
+            anyv = jnp.any(valid, axis=0, keepdims=True)
+            best_i = jnp.where(anyv, 0, best_i)
+            best_t = jnp.where(anyv, tminw, best_t)
+            return best_t, best_i, best_u, best_v
+        tm = jnp.where(valid, t, FLT_MAX)
+        bt = jnp.min(tm, axis=0, keepdims=True)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (TBK, R), 0)
+        li = jnp.min(jnp.where(tm == bt, ii, BIG_I), axis=0, keepdims=True)
+        oh = ((ii == li) & valid)
+        ub = jnp.max(jnp.where(oh, u, -1.0), axis=0, keepdims=True)
+        vb = jnp.max(jnp.where(oh, v, -1.0), axis=0, keepdims=True)
+        closer = bt < best_t
+        best_i = jnp.where(closer, cslot * TBK + li, best_i)
+        best_u = jnp.where(closer, ub, best_u)
+        best_v = jnp.where(closer, vb, best_v)
+        best_t = jnp.minimum(best_t, bt)
+        return best_t, best_i, best_u, best_v
+
+    BIGF = jnp.int32(BIG_I)
+
+    init = (tn_box,                                        # t_cur [S,128]
+            tmax.reshape(1, R),                            # best_t
+            jnp.full((1, R), -1, jnp.int32),               # best_i
+            jnp.zeros((1, R), jnp.float32),
+            jnp.zeros((1, R), jnp.float32),
+            # done: i32 plane (no i1 carries, no i1 reshapes — tmax/tmin
+            # are already [SUB,128] planes); miss-box lanes start done
+            (miss_box | ~(tmax > tmin)).astype(jnp.int32),
+            jnp.int32(0))                                  # iteration
+
+    def cond(s):
+        done = s[5]
+        it = s[6]
+        return (it < MARCH_MAX) & jnp.any(done == 0)
+
+    def body(s):
+        t_cur, best_t, best_i, best_u, best_v, done, it = s
+        live = done == 0
+        # current cell (vector math)
+        tc = t_cur + eps
+        qx = jnp.floor((px + dx * tc - lo0) / h0)
+        qy = jnp.floor((py + dy * tc - lo1) / h1)
+        qz = jnp.floor((pz + dz * tc - lo2) / h2)
+        inside = ((qx >= 0) & (qx < d0) & (qy >= 0) & (qy < d1)
+                  & (qz >= 0) & (qz < d2))
+        qxc = jnp.clip(qx, 0, d0 - 1).astype(jnp.int32)
+        qyc = jnp.clip(qy, 0, d1 - 1).astype(jnp.int32)
+        qzc = jnp.clip(qz, 0, d2 - 1).astype(jnp.int32)
+        cell = qxc * dxy + qyc * dz_ + qzc
+        cell = jnp.where(live & inside, cell, BIGF)
+        # exit t of the current cell (vector)
+        nx = lo0 + (qxc + (dx > 0)).astype(jnp.float32) * h0
+        ny = lo1 + (qyc + (dy > 0)).astype(jnp.float32) * h1
+        nz = lo2 + (qzc + (dz > 0)).astype(jnp.float32) * h2
+        t_exit = jnp.minimum(jnp.minimum(
+            jnp.where(jnp.abs(dx) > 1e-20, (nx - px) * ix, big),
+            jnp.where(jnp.abs(dy) > 1e-20, (ny - py) * iy, big)),
+            jnp.where(jnp.abs(dz) > 1e-20, (nz - pz) * iz, big))
+
+        # collect the union cells' clusters (ascending, CELL_CAP max)
+        processed = jnp.zeros((SUB, 128), jnp.int32)
+
+        def collect(cap_i, carry):
+            qn, cur_min, processed = carry
+            valid_cell = cur_min < BIG_I
+
+            def add(args):
+                qn, processed = args
+                off = cell_tab_ref[cur_min, 0]
+                cnt = cell_tab_ref[cur_min, 1]
+                fits = qn + cnt <= QCAP
+
+                def do(args):
+                    qn, processed = args
+
+                    def push(j, q):
+                        queue_ref[q] = cell_cl_ref[off + j, 0]
+                        return q + 1
+
+                    qn = jax.lax.fori_loop(0, cnt, push, qn)
+                    processed = processed | (cell == cur_min).astype(jnp.int32)
+                    return qn, processed
+
+                return jax.lax.cond(fits, do, lambda a: a, (qn, processed))
+
+            qn, processed = jax.lax.cond(valid_cell, add,
+                                         lambda a: a, (qn, processed))
+            nxt = jnp.min(jnp.where(cell > cur_min, cell, BIGF))
+            return qn, nxt, processed
+
+        first = jnp.min(cell)
+        qn, _, processed = jax.lax.fori_loop(
+            0, CELL_CAP, collect, (jnp.int32(0), first, processed))
+
+        # flush with double-buffered DMA
+        @pl.when(qn > 0)
+        def _():
+            get_dma(0, queue_ref[0]).start()
+
+        def f_body(k, carry):
+            slot = jax.lax.rem(k, 2)
+
+            @pl.when(k + 1 < qn)
+            def _():
+                get_dma(1 - slot, queue_ref[k + 1]).start()
+
+            get_dma(slot, queue_ref[k]).wait()
+            alive = slab_cluster(queue_ref[k], carry[0].reshape(SUB, 128))
+            return jax.lax.cond(
+                alive, lambda c: intersect_cluster(slot, queue_ref[k], c),
+                lambda c: c, carry)
+
+        best_t, best_i, best_u, best_v = jax.lax.fori_loop(
+            0, qn, f_body, (best_t, best_i, best_u, best_v))
+
+        # advance / terminate
+        adv = live & (processed != 0)
+        bt_pl = best_t.reshape(SUB, 128)
+        bi_pl = best_i.reshape(SUB, 128)
+        if any_hit:
+            newly_done = (~inside) | (bi_pl >= 0)
+        else:
+            newly_done = (~inside) | (adv & (bt_pl <= t_exit))
+        t_cur = jnp.where(adv, t_exit, t_cur)
+        done = done | (live & newly_done).astype(jnp.int32)
+        done = done | (t_cur >= tmax).astype(jnp.int32)
+        return t_cur, best_t, best_i, best_u, best_v, done, it + 1
+
+    _, best_t, best_i, best_u, best_v, _, _ = jax.lax.while_loop(
+        cond, body, init)
+
+    out_t_ref[0] = best_t.reshape(SUB, 128)
+    out_tri_ref[0] = best_i.reshape(SUB, 128)
+    out_u_ref[0] = best_u.reshape(SUB, 128)
+    out_v_ref[0] = best_v.reshape(SUB, 128)
+
+
+@functools.partial(jax.jit, static_argnames=('grid_lo', 'grid_h',
+                                             'grid_dims', 'any_hit',
+                                             'interpret'))
+def _march_impl(cell_tab, cell_cl, cl_aabb, tris_hbm,
+                ray_pos, ray_dir, t_min, t_max,
+                grid_lo, grid_h, grid_dims, any_hit, interpret):
+    N = ray_pos.shape[0]
+    n_tiles = -(-N // TILE)
+    pad = n_tiles * TILE - N
+    if pad:
+        ray_pos = jnp.concatenate([ray_pos, jnp.zeros((pad, 3), jnp.float32)])
+        ray_dir = jnp.concatenate([ray_dir, jnp.ones((pad, 3), jnp.float32)])
+        t_min = jnp.concatenate([t_min, jnp.zeros((pad,), jnp.float32)])
+        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), jnp.float32)])
+    rays = jnp.stack([ray_pos[:, 0], ray_pos[:, 1], ray_pos[:, 2],
+                      ray_dir[:, 0], ray_dir[:, 1], ray_dir[:, 2],
+                      t_min, t_max], axis=0)
+    rays = rays.reshape(8, n_tiles, SUB, 128).transpose(1, 0, 2, 3)
+    tile_spec = pl.BlockSpec((1, SUB, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_march_kernel, any_hit=any_hit,
+                          lo=grid_lo, h=grid_h, dims=grid_dims),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(cell_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(cell_cl.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(cl_aabb.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, SUB, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[tile_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, SUB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, SUB, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, SUB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, SUB, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((QCAP,), jnp.int32),
+            pltpu.VMEM((2, 4, WPAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(cell_tab, cell_cl, cl_aabb, tris_hbm, rays)
+    t, tri, u, v = [o.reshape(n_tiles * TILE)[:N] for o in outs]
+    return t, tri, u, v
+
+
+def intersect_march(grid: GridPack, tris_hbm, ray_pos, ray_dir, t_min,
+                    t_max, any_hit: bool = False, interpret: bool = False):
+    """v2 DDA: the whole grid march runs inside one kernel per ray tile.
+
+    Same output contract as intersect_stream / intersect_dda.  Relies on
+    the caller's Morton/octant ray sorting for tile cell-coherence (the
+    integrator sorts streamed scenes per bounce)."""
+    return _march_impl(grid.cell_tab, grid.cell_cl, grid.cl_aabb, tris_hbm,
+                       ray_pos, ray_dir, t_min, t_max,
+                       grid.lo, grid.h, grid.dims, any_hit, interpret)

@@ -107,6 +107,21 @@ def _eval_gbuffer(scene, meta, args):
     return 0
 
 
+def render_mlt_merged(scene, meta, spp, channels=4, progress=False):
+    """`-integrator mlt`: split_direct_indirect (main.cpp:139-145, 480-491)
+    — direct layer via QMC MIS-PT, indirect via Kelemen-MLT chains, summed."""
+    import numpy as np
+    from . import render as R
+    from .models import kmlt, integrator_pt as IPT
+    direct = R.render_qmc(scene, meta, spp=spp, integrator='mispt',
+                          layer='direct', channels=channels,
+                          progress=progress)
+    indirect = kmlt.render_mlt(scene, meta, spp=spp,
+                               render_layer=IPT.FB_INDIRECT,
+                               channels=channels, progress=progress)
+    return np.asarray(direct) + np.asarray(indirect)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.cpu:
@@ -165,19 +180,9 @@ def main(argv=None):
             img = img.reshape(meta.height, meta.width, 4)[..., :args.channels]
             timing['total_s'] = time.time() - tw0
         elif integ == 'mlt':
-            # split_direct_indirect (main.cpp:139-145, 480-491): direct via
-            # QMC, indirect via Kelemen-MLT chains, summed
-            import numpy as np
-            from .models import kmlt, integrator_pt as IPT
             tw0 = time.time()
-            direct, timing = R.render_qmc(scene, meta, spp=spp,
-                                          integrator='mispt', layer='direct',
-                                          channels=args.channels,
-                                          progress=True, return_timing=True)
-            indirect = kmlt.render_mlt(scene, meta, spp=spp,
-                                       render_layer=IPT.FB_INDIRECT,
-                                       channels=args.channels, progress=True)
-            img = np.asarray(direct) + np.asarray(indirect)
+            img = render_mlt_merged(scene, meta, spp=spp,
+                                    channels=args.channels, progress=True)
             timing = {'total_s': time.time() - tw0, 'compile_s': 0.0}
         elif args.qmc:
             img, timing = R.render_qmc(scene, meta, spp=spp, integrator=integ,

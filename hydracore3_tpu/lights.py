@@ -224,9 +224,11 @@ def light_intensity(scene: Scene, meta: SceneMeta, light_id, wavelengths,
             proj_col = TEX.sample(scene.textures, jnp.maximum(ld['tex_id'], 0), shadow_tc)
             color = jnp.where(is_proj[..., None], color * proj_col, color)
 
-    # env texture (for visible env lights sampled explicitly)
+    # env texture (for visible env lights sampled explicitly).  Gate on the
+    # light's geom type, NOT ~is_spot — is_spot only exists under has_spot
+    # (env + no-spot scenes crashed on the unbound local before r4)
     if meta.has_env_map:
-        is_env_tex = (~is_spot) & (ld['tex_id'] >= 0)
+        is_env_tex = (ld['geom_type'] == LIGHT_GEOM_ENV) & (ld['tex_id'] >= 0)
         tc_env, _ = sphere_map_to_2d_tex_coord(ray_dir)
         tc_env_t = mul_rows_2x4(ld['sam_row0'], ld['sam_row1'], tc_env)
         env_col = TEX.sample(scene.textures, jnp.maximum(ld['tex_id'], 0), tc_env_t)

@@ -404,7 +404,17 @@ def kernel_ray_trace(scene: Scene, meta: SceneMeta, state: RayState, bounce: int
             # up to ~175k tris, HBM-streaming (traverse_stream) beyond —
             # the sponza-class path; interpret mode off-TPU
             interp = jax.default_backend() != 'tpu'
-            if meta.use_stream:
+            import os as _os
+            use_march = (_os.environ.get('HYDRA_STREAM_MARCH', '1') != '0')
+            if meta.use_stream and scene.st_grid is not None and use_march:
+                # nearest-hit rides the in-kernel grid march (2.4-2.5x the
+                # BVH walk for camera/bounce classes on v5e, PERF_NOTES r4)
+                from ..accel import traverse_dda as TDD
+                pt, ptri, pu, pv = TDD.intersect_march(
+                    scene.st_grid, scene.st_tris,
+                    state.ray_pos, state.ray_dir, t_min, t_max,
+                    interpret=interp)
+            elif meta.use_stream:
                 from ..accel import traverse_stream as TST
                 pt, ptri, pu, pv = TST.intersect_stream(
                     scene.st_nodes_f, scene.st_nodes_i, scene.st_tris,

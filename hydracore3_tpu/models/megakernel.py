@@ -43,6 +43,9 @@ import numpy as np
 from ..scene.build import (
     Scene, SceneMeta,
     MAT_TYPE_GLTF, MAT_TYPE_DIFFUSE, MAT_TYPE_CONDUCTOR,
+    MAT_TYPE_DIELECTRIC, MAT_TYPE_GLASS,
+    DIELECTRIC_ETA_EXT, DIELECTRIC_ETA_INT,
+    GLASS_COLOR_REFLECT, GLASS_COLOR_TRANSP, GLASS_FLOAT_IOR,
     MAT_TYPE_LIGHT_SOURCE, MTYPE_SMALL_LIGHT,
     GLTF_COLOR_BASE, GLTF_COLOR_COAT, GLTF_COLOR_METAL, EMISSION_COLOR,
     DIFFUSE_COLOR,
@@ -439,7 +442,10 @@ CN_NUM_LIGHTS = 40
 CN_WIDTH = 41
 CN_HEIGHT = 42
 CN_EXPOSURE = 43
-CN_NROWS = 48
+CN_ENV_SROW0 = 44     # 4 env sampler matrix row 0
+CN_ENV_SROW1 = 48     # 4 env sampler matrix row 1
+CN_ENV_TEXID = 52
+CN_NROWS = 56
 
 
 @dataclasses.dataclass(frozen=True)
@@ -456,25 +462,38 @@ class MegaPack:
     quad_rows: jnp.ndarray   # [Q//8, 128] bf16 quad texel rows (or None)
     n_tris: int
     tex_const: bool
+    env_mapped: bool = False  # env lat-long map tapped on ray miss
 
 
 jax.tree_util.register_dataclass(
     MegaPack,
     data_fields=['wx', 'wy', 'wz', 'shade_t', 'mat_lane', 'light_lane',
                  'tex_lane', 'consts', 'quad_rows'],
-    meta_fields=['n_tris', 'tex_const'])
+    meta_fields=['n_tris', 'tex_const', 'env_mapped'])
 
 
 def supported(scene: Scene, meta: SceneMeta) -> bool:
     """Static feature gate: the megakernel covers the non-spectral PT core
-    (GLTF/diffuse/emissive materials; rect/disc/sphere/point lights); all
-    other scenes fall back to the XLA path."""
+    (GLTF/diffuse/conductor/dielectric/glass/emissive materials; rect/disc/
+    sphere/point lights; env maps as miss radiance); spectral mode, motion
+    blur, blend trees, bump maps, 4-texture params, IES/spot/projective
+    lights, importance-sampled env and lens cameras fall back to the XLA
+    path (kernel-by-kernel parity, just not the Pallas pipeline)."""
     if meta.spectral_mode or meta.has_motion or meta.has_blend or meta.has_bump:
         return False
     if meta.has_four_textures or meta.has_ies or meta.has_spot or meta.has_proj:
         return False
-    if meta.has_env_map or meta.env_enable_sam or meta.has_cam_back:
+    if meta.env_enable_sam or meta.has_cam_back:
         return False
+    if meta.has_env_map:
+        # env radiance on miss rides the tap pipeline: needs the quad pool
+        # (importance-sampled env / cam-back stay on the XLA path above)
+        if scene.textures.quad_texels is None:
+            return False
+        if scene.textures.offset.shape[0] > 128:
+            return False
+        if int(scene.textures.quad_texels.shape[0]) > (1 << 21):
+            return False
     if meta.use_two_level:
         return False
     if meta.cam_lens_radius > 0.0 or len(meta.lens_lines) > 0:
@@ -486,7 +505,7 @@ def supported(scene: Scene, meta: SceneMeta) -> bool:
     if meta.trace_depth > 12:
         return False
     allowed = {MAT_TYPE_GLTF, MAT_TYPE_DIFFUSE, MAT_TYPE_CONDUCTOR,
-               MAT_TYPE_LIGHT_SOURCE}
+               MAT_TYPE_DIELECTRIC, MAT_TYPE_GLASS, MAT_TYPE_LIGHT_SOURCE}
     if not set(meta.mat_types_present) <= allowed:
         return False
     gt = np.asarray(scene.light_geom_type)
@@ -604,10 +623,15 @@ def pack(scene: Scene, meta: SceneMeta) -> MegaPack:
     consts[CN_WIDTH] = meta.width
     consts[CN_HEIGHT] = meta.height
     consts[CN_EXPOSURE] = meta.exposure_mult
+    env_mapped = bool(meta.has_env_map)
+    if env_mapped:
+        consts[CN_ENV_SROW0:CN_ENV_SROW0 + 4] = np.asarray(scene.env_sam_row0)
+        consts[CN_ENV_SROW1:CN_ENV_SROW1 + 4] = np.asarray(scene.env_sam_row1)
+        consts[CN_ENV_TEXID] = float(max(int(scene.env_tex_id), 0))
 
     tex_const = bool(meta.tex0_all_const)
     quad_rows = None
-    if not tex_const:
+    if not tex_const or env_mapped:
         # sliding-window quad pool: row i = quads[i..i+7] concatenated, so
         # EVERY ray's gathered 128-lane row has its own 2x2 footprint at
         # lanes 0:16 — no per-ray slot extraction in-kernel (Mosaic's only
@@ -629,7 +653,8 @@ def pack(scene: Scene, meta: SceneMeta) -> MegaPack:
         shade_t=jnp.asarray(st),
         mat_lane=jnp.asarray(ml), light_lane=jnp.asarray(ll),
         tex_lane=jnp.asarray(tl), consts=jnp.asarray(consts),
-        quad_rows=quad_rows, n_tris=int(Tpad), tex_const=tex_const)
+        quad_rows=quad_rows, n_tris=int(Tpad), tex_const=tex_const,
+        env_mapped=env_mapped)
 
 
 # ===========================================================================
@@ -876,6 +901,32 @@ def stage_tap_prep(tex_lane, md, st):
     ops/texture.py _sample_quad; the gather itself runs in XLA between
     kernels).  Returns (qidx i32 plane, w4 [4,S,L])."""
     texid = md['texid'].astype(jnp.int32)
+    uvx, uvy = st['hit_uv'][0], st['hit_uv'][1]
+    tcx = md['row0'][0] * uvx + md['row0'][1] * uvy + md['row0'][3]
+    tcy = md['row1'][0] * uvx + md['row1'][1] * uvy + md['row1'][3]
+    return _uv_to_quad(tex_lane, texid, tcx, tcy)
+
+
+def stage_env_tap_prep(consts, tex_lane, d):
+    """Miss-direction -> env lat-long tap (sphereMapTo2DTexCoord,
+    cglobals.h:335-358, + the env sampler matrix).  Returns (qidx, w4)."""
+    x = d[2]
+    y = d[0]
+    z = -d[1]
+    theta = acos_poly(jnp.clip(z, -1.0, 1.0))
+    phi = jnp.arctan2(y, x)
+    phi = jnp.where(phi < 0.0, phi + M_TWOPI, phi)
+    u = jnp.clip(phi * 0.5 * INV_PI, 0.0, 1.0)
+    v = jnp.clip(theta * INV_PI, 0.0, 1.0)
+    tcx = consts[CN_ENV_SROW0 + 0] * u + consts[CN_ENV_SROW0 + 1] * v \
+        + consts[CN_ENV_SROW0 + 3]
+    tcy = consts[CN_ENV_SROW1 + 0] * u + consts[CN_ENV_SROW1 + 1] * v \
+        + consts[CN_ENV_SROW1 + 3]
+    texid = jnp.full(u.shape, consts[CN_ENV_TEXID]).astype(jnp.int32)
+    return _uv_to_quad(tex_lane, texid, tcx, tcy)
+
+
+def _uv_to_quad(tex_lane, texid, tcx, tcy):
     g = lambda r: lane_gather(tex_lane[r], texid)
     off = g(TF_OFF)
     wf = g(TF_W)
@@ -883,9 +934,6 @@ def stage_tap_prep(tex_lane, md, st):
     filt = g(TF_FILT)
     au = g(TF_AU)
     av = g(TF_AV)
-    uvx, uvy = st['hit_uv'][0], st['hit_uv'][1]
-    tcx = md['row0'][0] * uvx + md['row0'][1] * uvy + md['row0'][3]
-    tcy = md['row1'][0] * uvx + md['row1'][1] * uvy + md['row1'][3]
 
     def norm_coord(uc, mode):
         wrapped = uc - jnp.floor(uc)
@@ -1015,11 +1063,113 @@ def mat_eval(md, tex_color, l, v, n):
     return val, pdf
 
 
-def mat_sample(md, tex_color, rands, v, n):
-    """MaterialSampleAndEval for {GLTF, DIFFUSE} (cmat_gltf.h:6-91,
-    cmat_diffuse.h:8-24).  rands: [4,S,L].
+def safe_sqrt_pl(x):
+    return jnp.sqrt(jnp.maximum(x, 0.0))
 
-    Returns dict(val [4], dir [3], pdf, flags u32)."""
+
+def dielectric_sample(md, rands, v, n, ray_flags, mis_ior):
+    """dielectricSmoothSampleAndEval (cmat_dielectric.h:8-57) in plane form
+    (non-spectral: eta from data[DIELECTRIC_ETA_INT]).
+
+    Returns dict(val [4], dir [3], pdf, flags u32, ior)."""
+    ext_ior = md['data'][DIELECTRIC_ETA_EXT]
+    eta_int = md['data'][DIELECTRIC_ETA_INT]
+    inv_norm = (ray_flags & jnp.uint32(C.RAY_FLAG_HAS_INV_NORMAL)) != 0
+    n_fixed = jnp.where(inv_norm, -n, n)
+
+    s, t = coordinate_system_v2(n_fixed)
+    wi = jnp.stack([dot3(v, s), dot3(v, t), dot3(v, n_fixed)])
+    eta = eta_int / ext_ior
+
+    # FrDielectricDetailedV2 (cmaterial.h:646-683)
+    ci = jnp.clip(wi[2], -1.0, 1.0)
+    outside = ci >= 0.0
+    eta_it = jnp.where(outside, eta, 1.0 / eta)
+    eta_ti = jnp.where(outside, 1.0 / eta, eta)
+    cos_t_sqr = 1.0 - (1.0 - ci * ci) * eta_ti * eta_ti
+    ci_abs = jnp.abs(ci)
+    ct_abs = safe_sqrt_pl(cos_t_sqr)
+    a_s = (-eta_it * ct_abs + ci_abs) / jnp.maximum(eta_it * ct_abs + ci_abs,
+                                                    1e-12)
+    a_p = (-eta_it * ci_abs + ct_abs) / jnp.maximum(eta_it * ci_abs + ct_abs,
+                                                    1e-12)
+    r = 0.5 * (a_s * a_s + a_p * a_p)
+    special = (eta == 1.0) | (ci_abs == 0.0)
+    r = jnp.where(special, jnp.where(eta == 1.0, 0.0, 1.0), r)
+    cos_theta_t = jnp.where(ci >= 0.0, -ct_abs, ct_abs)
+    t_coef = 1.0 - r
+
+    reflect_pick = rands[0] < r
+    wo_refl = jnp.stack([-wi[0], -wi[1], wi[2]])
+    wo_refr = jnp.stack([-eta_ti * wi[0], -eta_ti * wi[1],
+                         jnp.broadcast_to(cos_theta_t, wi[0].shape)])
+    wo = jnp.where(reflect_pick, wo_refl, wo_refr)
+    out_dir = normalize3(wo[0:1] * s + wo[1:2] * t + wo[2:3] * n_fixed)
+
+    val = jnp.where(reflect_pick, r, (eta_ti * eta_ti) * t_coef)
+    pdf = jnp.where(reflect_pick, r, t_coef)
+    new_ior = jnp.where(reflect_pick, mis_ior,
+                        jnp.where(mis_ior == eta_int, ext_ior, eta_int))
+    flags = jnp.where(reflect_pick, jnp.uint32(C.RAY_EVENT_S),
+                      jnp.uint32(C.RAY_EVENT_S | C.RAY_EVENT_T))
+    val4 = (val / jnp.maximum(jnp.abs(dot3(out_dir, n_fixed)), 1e-6)
+            )[None] * jnp.ones((4, 1, 1), jnp.float32)
+    return dict(val=val4, dir=out_dir, pdf=pdf, flags=flags, ior=new_ior)
+
+
+def glass_sample(md, rands, v, n, ray_flags, mis_ior):
+    """glassSampleAndEval (cmat_glass.h:234-275) in plane form; n is the
+    pre-bump hit normal (the dispatch's geom-normal convention,
+    bsdf/dispatch.py:297).  rands[3] picks reflect/refract."""
+    color_refl = md['c0']
+    color_transp = md['c1']
+    ior = md['data'][GLASS_FLOAT_IOR]
+
+    ray_dir = jnp.stack([-v[0], -v[1], -v[2]])
+    relative_ior = ior / mis_ior
+    inv_norm = (ray_flags & jnp.uint32(C.RAY_FLAG_HAS_INV_NORMAL)) != 0
+    exiting = inv_norm & (mis_ior == ior)
+    relative_ior = jnp.where(exiting, 1.0 / ior, relative_ior)
+
+    # fresnel2
+    cosi = dot3(v, n)
+    sint = safe_sqrt_pl(1.0 - cosi * cosi) / relative_ior
+    cost = safe_sqrt_pl(1.0 - sint * sint)
+    rp = (relative_ior * cosi - cost) / jnp.maximum(
+        relative_ior * cosi + cost, 1e-12)
+    rs = (cosi - relative_ior * cost) / jnp.maximum(
+        cosi + relative_ior * cost, 1e-12)
+    fres = jnp.where(sint > 1.0, 1.0, 0.5 * (rp * rp + rs * rs))
+    pick_refl = rands[3] < fres
+
+    def reflect2(d):
+        return normalize3(d - (2.0 * dot3(d, n)) * n)
+
+    dir_refl = reflect2(ray_dir)
+    # refract2 (TIR falls back to reflection)
+    cosi_d = dot3(ray_dir, n)
+    eta2 = 1.0 / relative_ior
+    k = 1.0 - eta2 * eta2 * (1.0 - cosi_d * cosi_d)
+    refr = normalize3(eta2 * ray_dir - (eta2 * cosi_d + safe_sqrt_pl(k)) * n)
+    dir_refr = jnp.where(k < 0.0, dir_refl, refr)
+
+    out_dir = jnp.where(pick_refl, dir_refl, dir_refr)
+    val = jnp.where(pick_refl, color_refl, color_transp)
+    new_ior = jnp.where(pick_refl, mis_ior, ior)
+    flags = jnp.where(pick_refl, jnp.uint32(C.RAY_EVENT_S),
+                      jnp.uint32(C.RAY_EVENT_S | C.RAY_EVENT_T))
+    cos_out = jnp.abs(dot3(out_dir, n))
+    val = val / jnp.maximum(cos_out, 1e-6)
+    return dict(val=val, dir=out_dir, pdf=jnp.ones_like(fres), flags=flags,
+                ior=new_ior)
+
+
+def mat_sample(md, tex_color, rands, v, n, ray_flags=None, mis_ior=None):
+    """MaterialSampleAndEval for {GLTF, DIFFUSE, CONDUCTOR, DIELECTRIC,
+    GLASS} (cmat_gltf.h:6-91, cmat_diffuse.h:8-24, cmat_dielectric.h,
+    cmat_glass.h).  rands: [4,S,L].
+
+    Returns dict(val [4], dir [3], pdf, flags u32, ior)."""
     base4 = md['c0'] * tex_color
     mtype = md['mtype']
     cflags, metal_col, coat_col, roughness, metalness, coat, ior = \
@@ -1090,7 +1240,24 @@ def mat_sample(md, tex_color, rands, v, n):
                         jnp.where(is_cond, cs['pdf'], 1.0)))
     out_flags = jnp.where(is_gltf, g_flags, jnp.where(is_diff, d_flags,
                           jnp.where(is_cond, cs['flags'], jnp.uint32(0))))
-    return dict(val=out_val, dir=out_dir, pdf=out_pdf, flags=out_flags)
+    out_ior = mis_ior if mis_ior is not None else jnp.ones_like(lam_pdf)
+    if ray_flags is not None and mis_ior is not None:
+        ds = dielectric_sample(md, rands, v, n, ray_flags, mis_ior)
+        gs = glass_sample(md, rands, v, n, ray_flags, mis_ior)
+        is_diel = mtype == float(MAT_TYPE_DIELECTRIC)
+        is_glass = mtype == float(MAT_TYPE_GLASS)
+        out_dir = jnp.where(is_diel, ds['dir'],
+                            jnp.where(is_glass, gs['dir'], out_dir))
+        out_val = jnp.where(is_diel, ds['val'],
+                            jnp.where(is_glass, gs['val'], out_val))
+        out_pdf = jnp.where(is_diel, ds['pdf'],
+                            jnp.where(is_glass, gs['pdf'], out_pdf))
+        out_flags = jnp.where(is_diel, ds['flags'],
+                              jnp.where(is_glass, gs['flags'], out_flags))
+        out_ior = jnp.where(is_diel, ds['ior'],
+                            jnp.where(is_glass, gs['ior'], out_ior))
+    return dict(val=out_val, dir=out_dir, pdf=out_pdf, flags=out_flags,
+                ior=out_ior)
 
 
 # ---------------------------------------------------------------------------
@@ -1435,7 +1602,8 @@ def stage_next_bounce(md, tex_color, st, shade_color, bounce,
     # ---- surface branch ---------------------------------------------------
     surf_live = live & ~is_light_mat
     rngx, rngy, rands = rnd_float4(st['rngx'], st['rngy'], surf_live)
-    samp = mat_sample(md, tex_color, rands, -st['d'], st['hit_norm'])
+    samp = mat_sample(md, tex_color, rands, -st['d'], st['hit_norm'],
+                      ray_flags=st['flags'], mis_ior=st['mis_ior'])
 
     bxdf = samp['val'] / jnp.maximum(samp['pdf'], 1e-20)
     cos_theta = jnp.abs(dot3(samp['dir'], st['hit_norm']))
@@ -1465,18 +1633,23 @@ def stage_next_bounce(md, tex_color, st, shade_color, bounce,
     st['o'] = jnp.where(sb_, new_pos, st['o'])
     st['d'] = jnp.where(sb_, samp['dir'], st['d'])
     st['mis_pdf'] = jnp.where(sb_, new_mis_pdf, st['mis_pdf'])
+    st['mis_ior'] = jnp.where(sb_, samp['ior'], st['mis_ior'])
     st['rngx'] = rngx
     st['rngy'] = rngy
     return st
 
 
-def stage_env_contribute(consts, st, integrator_type: int):
-    """kernel_HitEnvironment (no env map / no env sampling) + contribute.
+def stage_env_contribute(consts, st, integrator_type: int, env_tex4=None):
+    """kernel_HitEnvironment (flat env color, or color * lat-long map texel
+    when env_tex4 [4,S,L] is supplied by the tap pipeline; env importance
+    sampling / cam-back stay on the XLA path) + contribute.
 
     Returns contrib [4,S,L]."""
     out = (st['flags'] & jnp.uint32(C.RAY_FLAG_OUT_OF_SCENE)) != 0
     env_color = jnp.stack([jnp.full(st['flags'].shape, consts[CN_ENV_COLOR + i],
                                     jnp.float32) for i in range(4)])
+    if env_tex4 is not None:
+        env_color = env_color * env_tex4
     if integrator_type == INTEGRATOR_STUPID_PT:
         new_accum = st['thr'] * env_color
     else:
@@ -1525,7 +1698,12 @@ def sample_pass_ref(pk: MegaPack, xs, ys, rngx, rngy, depth: int,
             shade = jnp.zeros_like(st['accum'])
         st = stage_next_bounce(md, tex, st, shade, b, integrator_type,
                                pk.light_lane, pk.consts)
-    contrib = stage_env_contribute(pk.consts, st, integrator_type)
+    env4 = None
+    if pk.env_mapped:
+        qe, we = stage_env_tap_prep(pk.consts, pk.tex_lane, st['d'])
+        qT = _tap_xla_like(pk, qe.reshape(-1, qe.shape[-1]))
+        env4 = tex_from_rows(qT.reshape((16,) + st['flags'].shape), we)
+    contrib = stage_env_contribute(pk.consts, st, integrator_type, env4)
     return contrib, st['rngx'], st['rngy']
 
 
@@ -1601,7 +1779,7 @@ def _merge_state(cond, a, b):
 @functools.lru_cache(maxsize=64)
 def _build_kernels(depth: int, integrator_type: int, textured: bool,
                    n_blocks: int, n_tris: int, n_quad_rows: int,
-                   interpret: bool):
+                   interpret: bool, env_tap: bool = False):
     """Compile-time assembly of the per-bounce kernel chain.
 
     Chain: K0 = init+trace(0); K_b = shade(b-1)+trace(b); K_last =
@@ -1629,8 +1807,8 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
 
     def make_kernel(shade_bounce, trace_bounce, first, last):
         """Returns (fn, in_specs, out_specs, out_shapes builder)."""
-        emit_tap = textured and trace_bounce is not None
-        take_tap = textured and shade_bounce is not None
+        emit_tap = (textured or env_tap) and trace_bounce is not None
+        take_tap = (textured or env_tap) and shade_bounce is not None
 
         def kernel(*refs):
             i = 0
@@ -1680,7 +1858,15 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
                                        integrator_type, light_lane, consts)
 
             if last:
-                contrib = stage_env_contribute(consts, st, integrator_type)
+                env4 = None
+                if env_tap:
+                    # miss lanes' q16 rows hold env texels (the trace
+                    # kernels emit env taps for OUT lanes); recompute the
+                    # env corner weights from the preserved direction
+                    _, we = stage_env_tap_prep(consts, tex_lane, st['d'])
+                    env4 = tex_from_rows(q16, we)
+                contrib = stage_env_contribute(consts, st, integrator_type,
+                                               env4)
                 out[0][0] = contrib
                 out[1][0] = jnp.stack([st['rngx'], st['rngy'], st['flags']])
                 return
@@ -1690,14 +1876,26 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
             out[0][0] = sf2
             out[1][0] = su2
             if emit_tap:
-                md2 = fetch_mat(mat_lane, _mat_id(st['flags']))
-                qidx, _ = stage_tap_prep(tex_lane, md2, st)
                 # clamp into the pool (the XLA gather must never read OOB);
-                # dead lanes all read row 0 — random-row DMA bandwidth is
-                # the tap's cost, and one hot row is effectively free
+                # dead non-env lanes all read row 0 — random-row DMA
+                # bandwidth is the tap's cost, one hot row is free
                 live = ~_is_dead(st['flags'])
-                out[2][0, 0] = jnp.where(live,
-                                         jnp.clip(qidx, 0, n_quad_rows - 1), 0)
+                if textured:
+                    md2 = fetch_mat(mat_lane, _mat_id(st['flags']))
+                    qidx, _ = stage_tap_prep(tex_lane, md2, st)
+                    q = jnp.where(live, jnp.clip(qidx, 0, n_quad_rows - 1), 0)
+                else:
+                    q = jnp.zeros(st['flags'].shape, jnp.int32)
+                if env_tap:
+                    # OUT lanes re-emit their env tap every bounce so the
+                    # last kernel still sees it (later emits would
+                    # otherwise overwrite early deaths with row 0)
+                    out_l = (st['flags']
+                             & jnp.uint32(C.RAY_FLAG_OUT_OF_SCENE)) != 0
+                    qe, _ = stage_env_tap_prep(consts, tex_lane, st['d'])
+                    q = jnp.where(out_l,
+                                  jnp.clip(qe, 0, n_quad_rows - 1), q)
+                out[2][0, 0] = q
 
         in_specs = [smem, full, full, full, full, full]
         if emit_tap or take_tap:
@@ -1742,7 +1940,7 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
         )(*pk_args, *state_args)
 
     ks = {}
-    if not textured:
+    if not textured and not env_tap:
         # const-texture scenes need no between-kernel taps: the ENTIRE
         # sample (camera -> depth bounces -> env -> contribute) is ONE
         # kernel — no per-bounce state round-trips through HBM
@@ -1793,7 +1991,7 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
 
 def _build_regen_kernels(depth: int, integrator_type: int, textured: bool,
                          n_blocks: int, n_tris: int, n_quad_rows: int,
-                         interpret: bool):
+                         interpret: bool, env_tap: bool = False):
     """Regeneration-mode kernels (persistent samples, VERDICT item: deep-
     bounce occupancy).  Two kernels:
 
@@ -1827,12 +2025,21 @@ def _build_regen_kernels(depth: int, integrator_type: int, textured: bool,
         return (jnp.concatenate([sf, lane_acc], axis=0),
                 jnp.concatenate([su, ndone[None], bcnt[None]], axis=0))
 
-    def emit_tap(out, slot, tex_lane, mat_lane, st):
-        md2 = fetch_mat(mat_lane, _mat_id(st['flags']))
-        qidx, _ = stage_tap_prep(tex_lane, md2, st)
+    tap = textured or env_tap
+
+    def emit_tap(out, slot, consts, tex_lane, mat_lane, st):
         live = ~_is_dead(st['flags'])
-        out[slot][0, 0] = jnp.where(live, jnp.clip(qidx, 0, n_quad_rows - 1),
-                                    0)
+        if textured:
+            md2 = fetch_mat(mat_lane, _mat_id(st['flags']))
+            qidx, _ = stage_tap_prep(tex_lane, md2, st)
+            q = jnp.where(live, jnp.clip(qidx, 0, n_quad_rows - 1), 0)
+        else:
+            q = jnp.zeros(st['flags'].shape, jnp.int32)
+        if env_tap:
+            out_l = (st['flags'] & jnp.uint32(C.RAY_FLAG_OUT_OF_SCENE)) != 0
+            qe, _ = stage_env_tap_prep(consts, tex_lane, st['d'])
+            q = jnp.where(out_l, jnp.clip(qe, 0, n_quad_rows - 1), q)
+        out[slot][0, 0] = q
 
     def make_rfirst():
         def kernel(*refs):
@@ -1843,8 +2050,8 @@ def _build_regen_kernels(depth: int, integrator_type: int, textured: bool,
             wz = refs[i][:]; i += 1
             shade_t = refs[i][:]; i += 1
             mat_lane = refs[i][:]; i += 1
-            tex_lane = refs[i][:] if textured else None
-            if textured:
+            tex_lane = refs[i][:] if tap else None
+            if tap:
                 i += 1
             xy = refs[i][0]; i += 1
             su = refs[i][0]; i += 1
@@ -1855,11 +2062,11 @@ def _build_regen_kernels(depth: int, integrator_type: int, textured: bool,
             sf2, su2 = pack_r(st, jnp.zeros_like(st['accum']), zero_u, zero_u)
             out[0][0] = sf2
             out[1][0] = su2
-            if textured:
-                emit_tap(out, 2, tex_lane, mat_lane, st)
+            if tap:
+                emit_tap(out, 2, consts, tex_lane, mat_lane, st)
 
         in_specs = [smem, full, full, full, full, full]
-        if textured:
+        if tap:
             in_specs.append(full)
         in_specs += [bspec(2), bspec(SU_NROWS)]
         return kernel, in_specs
@@ -1873,15 +2080,15 @@ def _build_regen_kernels(depth: int, integrator_type: int, textured: bool,
             wz = refs[i][:]; i += 1
             shade_t = refs[i][:]; i += 1
             mat_lane = refs[i][:]; i += 1
-            tex_lane = refs[i][:] if textured else None
-            if textured:
+            tex_lane = refs[i][:] if tap else None
+            if tap:
                 i += 1
             light_lane = refs[i][:]; i += 1
             xy = refs[i][0]; i += 1
             sf = refs[i][0]; i += 1
             su = refs[i][0]; i += 1
-            q16 = refs[i][0] if textured else None
-            if textured:
+            q16 = refs[i][0] if tap else None
+            if tap:
                 i += 1
             out = list(refs[i:])
 
@@ -1889,7 +2096,12 @@ def _build_regen_kernels(depth: int, integrator_type: int, textured: bool,
 
             # 1. flush lanes that died at the previous trace (miss -> env)
             dead0 = _is_dead(st['flags'])
-            contrib0 = stage_env_contribute(consts, st, integrator_type)
+            env4 = None
+            if env_tap:
+                _, we = stage_env_tap_prep(consts, tex_lane, st['d'])
+                env4 = tex_from_rows(q16, we)
+            contrib0 = stage_env_contribute(consts, st, integrator_type,
+                                            env4)
             lane_acc = lane_acc + jnp.where(dead0, contrib0, 0.0)
             ndone = ndone + dead0.astype(jnp.uint32)
             stf = stage_init(consts, xy[0], xy[1], st['rngx'], st['rngy'],
@@ -1942,15 +2154,15 @@ def _build_regen_kernels(depth: int, integrator_type: int, textured: bool,
             sf2, su2 = pack_r(st, lane_acc, ndone, bcnt)
             out[0][0] = sf2
             out[1][0] = su2
-            if textured:
-                emit_tap(out, 2, tex_lane, mat_lane, st)
+            if tap:
+                emit_tap(out, 2, consts, tex_lane, mat_lane, st)
 
         in_specs = [smem, full, full, full, full, full]
-        if textured:
+        if tap:
             in_specs.append(full)
         in_specs.append(full)  # light_lane
         in_specs += [bspec(2), bspec(RF_NROWS), bspec(RU_NROWS)]
-        if textured:
+        if tap:
             in_specs += [bspec(16)]
         return kernel, in_specs
 
@@ -1959,7 +2171,7 @@ def _build_regen_kernels(depth: int, integrator_type: int, textured: bool,
         shapes = [jax.ShapeDtypeStruct((nb, RF_NROWS, S, L), jnp.float32),
                   jax.ShapeDtypeStruct((nb, RU_NROWS, S, L), jnp.uint32)]
         specs = [bspec(RF_NROWS), bspec(RU_NROWS)]
-        if textured:
+        if tap:
             shapes += [jax.ShapeDtypeStruct((nb, 1, S, L), jnp.int32)]
             specs += [bspec(1)]
         return tuple(shapes), tuple(specs)
@@ -2001,12 +2213,13 @@ def sample_pass_pallas(pk: MegaPack, xy, sf_unused, su, depth: int,
     NB = n_rays // RBLK
     nq = 1 if pk.quad_rows is None else int(pk.quad_rows.shape[0])
     ks, call = _build_kernels(depth, integrator_type, not pk.tex_const,
-                              NB, pk.n_tris, nq, interpret)
+                              NB, pk.n_tris, nq, interpret,
+                              env_tap=pk.env_mapped)
     base = [pk.consts, pk.wx, pk.wy, pk.wz, pk.shade_t, pk.mat_lane]
     n_bounce = depth + (1 if integrator_type == INTEGRATOR_STUPID_PT else 0)
     textured = not pk.tex_const
 
-    if not textured:
+    if not textured and not pk.env_mapped:
         contrib, su = call(ks['whole'],
                            base + [pk.light_lane], [xy, su], n_rays)
         return contrib, su
@@ -2029,13 +2242,13 @@ def sample_pass_pallas(pk: MegaPack, xy, sf_unused, su, depth: int,
 
 def _regen_iters(pk, ks, call, xy, sf, su, rows, k, n_rays):
     """k rmid iterations with taps between (traced inline under jit)."""
-    textured = not pk.tex_const
+    tap = not pk.tex_const or pk.env_mapped
     base = [pk.consts, pk.wx, pk.wy, pk.wz, pk.shade_t, pk.mat_lane]
-    pk_mid = base + ([pk.tex_lane] if textured else []) + [pk.light_lane]
+    pk_mid = base + ([pk.tex_lane] if tap else []) + [pk.light_lane]
     for _ in range(k):
-        state = [xy, sf, su] + ([rows] if textured else [])
+        state = [xy, sf, su] + ([rows] if tap else [])
         r = call(ks['rmid'], pk_mid, state, n_rays)
-        if textured:
+        if tap:
             sf, su, qidx = r
             rows = _tap_xla(pk, qidx)
         else:
@@ -2049,13 +2262,14 @@ def _regen_start(pk, xy, su, depth, integrator_type, k_iters, interpret):
     """rfirst + (k_iters-1) rmid iterations; returns (sf, su, rows)."""
     n_rays = xy.shape[0] * RBLK
     nq = 1 if pk.quad_rows is None else int(pk.quad_rows.shape[0])
-    textured = not pk.tex_const
-    ks, call = _build_regen_kernels(depth, integrator_type, textured,
-                                    n_rays // RBLK, pk.n_tris, nq, interpret)
+    tap = not pk.tex_const or pk.env_mapped
+    ks, call = _build_regen_kernels(depth, integrator_type, not pk.tex_const,
+                                    n_rays // RBLK, pk.n_tris, nq, interpret,
+                                    env_tap=pk.env_mapped)
     base = [pk.consts, pk.wx, pk.wy, pk.wz, pk.shade_t, pk.mat_lane]
-    pk_first = base + ([pk.tex_lane] if textured else [])
+    pk_first = base + ([pk.tex_lane] if tap else [])
     r = call(ks['rfirst'], pk_first, [xy, su], n_rays)
-    if textured:
+    if tap:
         sf, su2, qidx = r
         rows = _tap_xla(pk, qidx)
     else:
@@ -2070,7 +2284,8 @@ def _regen_cont(pk, xy, sf, su, rows, depth, integrator_type, k_iters,
     n_rays = xy.shape[0] * RBLK
     nq = 1 if pk.quad_rows is None else int(pk.quad_rows.shape[0])
     ks, call = _build_regen_kernels(depth, integrator_type, not pk.tex_const,
-                                    n_rays // RBLK, pk.n_tris, nq, interpret)
+                                    n_rays // RBLK, pk.n_tris, nq, interpret,
+                                    env_tap=pk.env_mapped)
     return _regen_iters(pk, ks, call, xy, sf, su, rows, k_iters, n_rays)
 
 
@@ -2086,7 +2301,14 @@ def _regen_finalize(pk, sf, su, integrator_type):
     lane_acc = sft[RF_ACC:RF_ACC + 4]
     ndone = sut[RU_NDONE]
     dead = _is_dead(st['flags'])
-    contrib = stage_env_contribute(pk.consts, st, integrator_type)
+    env4 = None
+    if pk.env_mapped:
+        # XLA-side env tap for the final flush (the plane stage fns are
+        # shape-generic: planes here are [NB, S, L])
+        qe, we = stage_env_tap_prep(pk.consts, pk.tex_lane, st['d'])
+        qT = _tap_xla_like(pk, qe.reshape(-1, L))
+        env4 = tex_from_rows(qT.reshape((16,) + st['flags'].shape), we)
+    contrib = stage_env_contribute(pk.consts, st, integrator_type, env4)
     lane_acc = lane_acc + jnp.where(dead, contrib, 0.0)
     ndone = ndone + dead.astype(jnp.uint32)
     img = lane_acc / jnp.maximum(ndone.astype(jnp.float32), 1.0)

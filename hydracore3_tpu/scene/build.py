@@ -727,6 +727,10 @@ class Scene:
     st_nodes_f: jnp.ndarray = None
     st_nodes_i: jnp.ndarray = None
     st_tris: jnp.ndarray = None
+    # uniform-grid binning of the same clusters (traverse_dda.GridPack):
+    # nearest-hit rays march it in-kernel (measured 2.4-2.5x over the BVH
+    # walk for camera/bounce classes); any-hit keeps the BVH walk
+    st_grid: object = None
 
     # static: True when every packed int fits f32's 24-bit mantissa, so int
     # rows may ride the one-hot MXU gather exactly (ops/gather.py)
@@ -1296,6 +1300,11 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         soup_shade, soup_mat = soup_shade[order], soup_mat[order]
         st_nf, st_ni, st_tris, order_padded = TST.pack_stream_bvh(
             cbvh, soup_v0, soup_e1, soup_e2)
+        from ..accel import traverse_dda as TDD
+        try:
+            st_grid_obj = TDD.pack_grid(st_nf, st_ni)
+        except ValueError:
+            st_grid_obj = None   # degenerate extent: BVH walk handles all
         sel = np.maximum(order_padded, 0)
         pad_rows = order_padded < 0
         soup_v0, soup_e1, soup_e2 = soup_v0[sel], soup_e1[sel], soup_e2[sel]
@@ -1306,7 +1315,7 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
                                            soup_prim[sel])
         soup_shade, soup_mat = soup_shade[sel].copy(), soup_mat[sel]
         soup_shade[pad_rows] = 0.0
-        st_arrays = (st_nf, st_ni, st_tris)
+        st_arrays = (st_nf, st_ni, st_tris, st_grid_obj)
 
     if len(soup_v0) > 0 and not use_pallas and not use_stream:
         motion_end = ((soup_v0 + soup_dv0, soup_e1 + soup_de1,
@@ -1525,6 +1534,7 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         st_nodes_f=None if st_arrays is None else jnp.asarray(st_arrays[0]),
         st_nodes_i=None if st_arrays is None else jnp.asarray(st_arrays[1]),
         st_tris=None if st_arrays is None else jnp.asarray(st_arrays[2]),
+        st_grid=None if st_arrays is None else st_arrays[3],
         ints_exact=bool(np.abs(np.asarray(mat_pi, np.int64)).max(initial=0) < 2**24
                         and np.abs(np.asarray(lgt_pi, np.int64)).max(initial=0) < 2**24),
     )

@@ -131,3 +131,32 @@ def test_dda_matches_stream_on_city_soup():
     np.testing.assert_array_equal(h1, h2)
     np.testing.assert_allclose(np.asarray(t1)[h1], np.asarray(t2)[h2],
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize('any_hit', [False, True])
+def test_march_vs_brute(any_hit):
+    """v2 in-kernel marching DDA vs the brute oracle."""
+    rng = np.random.default_rng(31)
+    v0, e1, e2 = random_scene(rng, 1500)
+    grid, tris_hbm, order_padded, (v0o, e1o, e2o) = build_all(v0, e1, e2)
+    n = 1200
+    pos = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    pos, d = jnp.asarray(pos), jnp.asarray(d)
+    tmin = jnp.zeros((n,))
+    tmax = jnp.full((n,), 4.0 if any_hit else 1e30)
+    t, tri, u, v = TD.intersect_march(grid, tris_hbm, pos, d, tmin, tmax,
+                                      any_hit=any_hit, interpret=True)
+    ref = TRV.intersect_brute(
+        jnp.asarray(v0o), jnp.asarray(e1o), jnp.asarray(e2o),
+        jnp.zeros(1500, jnp.int32), jnp.zeros(1500, jnp.int32),
+        jnp.arange(1500, dtype=jnp.int32),
+        pos, d, tmin, tmax)
+    hit_s = np.asarray(tri) >= 0
+    hit_r = np.asarray(ref.t) < 1e29
+    np.testing.assert_array_equal(hit_s, hit_r)
+    if not any_hit:
+        np.testing.assert_allclose(np.asarray(t)[hit_s],
+                                   np.asarray(ref.t)[hit_r],
+                                   rtol=2e-4, atol=1e-5)

@@ -37,6 +37,9 @@ RUNS = [
      ['--spectral', '-integrator', 'mispt', '-spp', '2048', '-scn_dir', SCENES]),
     ('test_035_motion_mispt', f'{SCENES}/test_035/motion_test.xml', ['-integrator', 'mispt', '-spp', '2048']),
     ('test_035_gbuffer', f'{SCENES}/test_035/statex_00001.xml', ['-evalgbuffer', '1', '-spp', '256']),
+    # r4 (VERDICT item 7): QMC and Kelemen-MLT golden validation
+    ('test_035_qmc',  f'{SCENES}/test_035/statex_00001.xml', ['-integrator', 'mispt', '--qmc', '-spp', '2048']),
+    ('test_035_mlt',  f'{SCENES}/test_035/statex_00001.xml', ['-integrator', 'mlt', '-spp', '2048']),
 ]
 
 
