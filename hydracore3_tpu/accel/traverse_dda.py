@@ -46,22 +46,26 @@ QCAP = 256          # cluster queue per tile per round
 @dataclasses.dataclass(frozen=True)
 class GridPack:
     """Device tables for the DDA tracer (static geometry per scene)."""
-    cell_tab: jnp.ndarray    # [NC, 4] i32: (cluster_offset, count, 0, 0)
+    cell_tab: jnp.ndarray    # [NC, 4] i32: (cluster_offset, count, skip_r, 0)
     cell_cl: jnp.ndarray     # [K, 4] i32: cluster slot per entry
     cl_aabb: jnp.ndarray     # [C, 8] f32: per-cluster AABB (re-test cull)
+    # outlier clusters (outside the dense-grid AABB, e.g. a far overhead
+    # area light): tested ONCE per tile before the march
+    outliers: jnp.ndarray    # [O, 4] i32 cluster slots (>= 1 row)
+    n_outliers: int          # static
     lo: tuple                # grid origin (3 floats, static)
     h: tuple                 # cell size (3 floats, static)
     dims: tuple              # cells per axis (3 ints, static)
 
 
 jax.tree_util.register_dataclass(
-    GridPack, data_fields=['cell_tab', 'cell_cl', 'cl_aabb'],
-    meta_fields=['lo', 'h', 'dims'])
+    GridPack, data_fields=['cell_tab', 'cell_cl', 'cl_aabb', 'outliers'],
+    meta_fields=['n_outliers', 'lo', 'h', 'dims'])
 
 
 def pack_grid(nodes_f: np.ndarray, nodes_i: np.ndarray,
               target_clusters_per_cell: float = 3.0,
-              max_dim: int = 64) -> GridPack:
+              max_dim: int = 64, robust_aabb: bool = True) -> GridPack:
     """Bin the stream-BVH's leaf clusters into a uniform grid.
 
     nodes_f/nodes_i are pack_stream_bvh outputs; leaf rows carry the
@@ -75,8 +79,28 @@ def pack_grid(nodes_f: np.ndarray, nodes_i: np.ndarray,
     cl_aabb[slot, 0:3] = lo3
     cl_aabb[slot, 3:6] = hi3
 
-    glo = lo3.min(axis=0) - 1e-3
-    ghi = hi3.max(axis=0) + 1e-3
+    # dense-grid AABB from a robust (percentile-expanded) bound: far-flung
+    # isolated geometry (the classic case: an overhead area light) would
+    # otherwise stretch the grid and squeeze the empty-skip radii between
+    # occupied layers, making horizon rays crawl cell by cell.  Clusters
+    # outside the dense AABB go to the per-tile outlier list.
+    MAX_OUTLIERS = 32
+    ctr = 0.5 * (lo3 + hi3)
+    p_lo = np.percentile(ctr, 2, axis=0)
+    p_hi = np.percentile(ctr, 98, axis=0)
+    span = np.maximum(p_hi - p_lo, 1e-3)
+    r_lo = p_lo - 0.35 * span
+    r_hi = p_hi + 0.35 * span
+    out_mask = ((ctr < r_lo) | (ctr > r_hi)).any(axis=1)
+    if not robust_aabb or out_mask.sum() > MAX_OUTLIERS:
+        out_mask[:] = False          # too many: use the full AABB
+    inl = ~out_mask
+    outlier_slots = slot[out_mask]
+    lo3_g = lo3[inl] if inl.any() else lo3
+    hi3_g = hi3[inl] if inl.any() else hi3
+
+    glo = lo3_g.min(axis=0) - 1e-3
+    ghi = hi3_g.max(axis=0) + 1e-3
     ext = np.maximum(ghi - glo, 1e-3)
     # cell volume targeting ~target clusters per cell, clamped per axis
     n_cells = max(int(C / target_clusters_per_cell), 8)
@@ -90,6 +114,8 @@ def pack_grid(nodes_f: np.ndarray, nodes_i: np.ndarray,
     dy = int(dims[2])
     dxy = int(dims[1] * dims[2])
     for c in range(len(slot)):
+        if out_mask[c]:
+            continue
         for x in range(ix0[c, 0], ix1[c, 0] + 1):
             for y in range(ix0[c, 1], ix1[c, 1] + 1):
                 for z in range(ix0[c, 2], ix1[c, 2] + 1):
@@ -101,6 +127,29 @@ def pack_grid(nodes_f: np.ndarray, nodes_i: np.ndarray,
         cell_tab[i, 0] = len(flat)
         cell_tab[i, 1] = len(cl)
         flat.extend(cl)
+    # proximity clouds (empty-space skipping): cell_tab[:,2] = chebyshev
+    # distance to the nearest OCCUPIED cell, capped.  The march jumps
+    # (r-1)*min_a(h_a/|d_a|) through empty regions in one iteration —
+    # without this, rays over the rooftops crawl cell by cell (measured
+    # 59 ms/32k camera rays on the city because the scene AABB extends up
+    # to the area light).
+    R_CAP = 15
+    occ = (cell_tab[:, 1] > 0).reshape(tuple(int(v) for v in dims))
+    dist = np.where(occ, 0, R_CAP).astype(np.int32)
+    for _ in range(R_CAP):
+        d2 = dist.copy()
+        # chebyshev erosion: min over the 26-neighborhood + 1
+        p = np.pad(dist, 1, constant_values=R_CAP)
+        view = np.stack([p[1 + dx_:1 + dx_ + dist.shape[0],
+                           1 + dy_:1 + dy_ + dist.shape[1],
+                           1 + dz2:1 + dz2 + dist.shape[2]]
+                         for dx_ in (-1, 0, 1) for dy_ in (-1, 0, 1)
+                         for dz2 in (-1, 0, 1)])
+        d2 = np.minimum(d2, view.min(axis=0) + 1)
+        if (d2 == dist).all():
+            break
+        dist = d2
+    cell_tab[:, 2] = dist.reshape(-1)
     max_cell = int(cell_tab[:, 1].max(initial=0))
     if max_cell > QCAP:
         raise ValueError(
@@ -108,9 +157,13 @@ def pack_grid(nodes_f: np.ndarray, nodes_i: np.ndarray,
             f'grid resolution (scene extent degenerate?)')
     cell_cl = np.zeros((max(len(flat), 1), 4), np.int32)
     cell_cl[:len(flat), 0] = flat
+    n_out = int(len(outlier_slots))
+    outliers = np.zeros((max(n_out, 1), 4), np.int32)
+    outliers[:n_out, 0] = outlier_slots
     return GridPack(cell_tab=jnp.asarray(cell_tab),
                     cell_cl=jnp.asarray(cell_cl),
                     cl_aabb=jnp.asarray(cl_aabb),
+                    outliers=jnp.asarray(outliers), n_outliers=n_out,
                     lo=tuple(float(v) for v in glo),
                     h=tuple(float(v) for v in h),
                     dims=tuple(int(v) for v in dims))
@@ -174,7 +227,7 @@ def _cell_kernel(cell_tab_ref, cell_cl_ref, cl_aabb_ref, tris_hbm_ref,
 
     def intersect_cluster(slot, cslot, carry):
         best_t, best_i, best_u, best_v = carry
-        w = buf_ref[slot]
+        w = buf_ref[slot, 0:4]
         dn = (((0,), (0,)), ((), ()))
         po = jax.lax.dot_general(w, rhs_o, dn, precision=hi,
                                  preferred_element_type=jnp.float32)
@@ -321,7 +374,7 @@ def _cell_pass(grid: GridPack, tris_hbm, rays, cell, best_t, best_i,
         ],
         scratch_shapes=[
             pltpu.SMEM((QCAP,), jnp.int32),
-            pltpu.VMEM((2, 4, WPAD), jnp.float32),
+            pltpu.VMEM((2, 8, WPAD), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -347,6 +400,7 @@ def _trace_dda_impl(cell_tab, cell_cl, cl_aabb, tris_hbm,
         t_max = jnp.concatenate([t_max, jnp.zeros((pad,), jnp.float32)])
     Np = n_tiles * TILE
     grid = GridPack(cell_tab=cell_tab, cell_cl=cell_cl, cl_aabb=cl_aabb,
+                    outliers=jnp.zeros((1, 4), jnp.int32), n_outliers=0,
                     lo=grid_lo, h=grid_h, dims=grid_dims)
 
     lo = jnp.asarray(grid_lo, jnp.float32)
@@ -463,6 +517,9 @@ def intersect_dda(grid: GridPack, tris_hbm, ray_pos, ray_dir, t_min, t_max,
     Same output contract as traverse_stream.intersect_stream: (t, tri, u,
     v), tri = padded leaf-order index or -1; any_hit flags occlusion with
     tri >= 0."""
+    assert grid.n_outliers == 0, (
+        'the archived v1 rebinning driver has no outlier pass; build the '
+        'grid with robust_aabb=False for it')
     return _trace_dda_impl(grid.cell_tab, grid.cell_cl, grid.cl_aabb,
                            tris_hbm, ray_pos, ray_dir, t_min, t_max,
                            grid.lo, grid.h, grid.dims,
@@ -483,10 +540,11 @@ def intersect_dda(grid: GridPack, tris_hbm, ray_pos, ray_dir, t_min, t_max,
 MARCH_MAX = 192     # hard cap on in-kernel march iterations (safety)
 
 
-def _march_kernel(cell_tab_ref, cell_cl_ref, cl_aabb_ref, tris_hbm_ref,
+def _march_kernel(cell_tab_ref, cell_cl_ref, cl_aabb_ref, outliers_ref,
+                  tris_hbm_ref,
                   rays_ref, out_t_ref, out_tri_ref, out_u_ref, out_v_ref,
                   queue_ref, buf_ref, sem_ref, *, any_hit: bool,
-                  lo: tuple, h: tuple, dims: tuple):
+                  n_outliers: int, lo: tuple, h: tuple, dims: tuple):
     px = rays_ref[0, 0]
     py = rays_ref[0, 1]
     pz = rays_ref[0, 2]
@@ -558,7 +616,7 @@ def _march_kernel(cell_tab_ref, cell_cl_ref, cl_aabb_ref, tris_hbm_ref,
 
     def intersect_cluster(slot, cslot, carry):
         best_t, best_i, best_u, best_v = carry
-        w = buf_ref[slot]
+        w = buf_ref[slot, 0:4]
         dn = (((0,), (0,)), ((), ()))
         po = jax.lax.dot_general(w, rhs_o, dn, precision=hi,
                                  preferred_element_type=jnp.float32)
@@ -590,11 +648,30 @@ def _march_kernel(cell_tab_ref, cell_cl_ref, cl_aabb_ref, tris_hbm_ref,
 
     BIGF = jnp.int32(BIG_I)
 
+    # outlier clusters (outside the dense-grid AABB, e.g. the overhead
+    # area light) are intersected ONCE up front for every lane
+    best0 = (tmax.reshape(1, R), jnp.full((1, R), -1, jnp.int32),
+             jnp.zeros((1, R), jnp.float32), jnp.zeros((1, R), jnp.float32))
+    if n_outliers > 0:
+        get_dma(0, outliers_ref[0, 0]).start()
+
+        def o_body(k, carry):
+            slot = jax.lax.rem(k, 2)
+
+            @pl.when(k + 1 < n_outliers)
+            def _():
+                get_dma(1 - slot, outliers_ref[k + 1, 0]).start()
+
+            get_dma(slot, outliers_ref[k, 0]).wait()
+            return intersect_cluster(slot, outliers_ref[k, 0], carry)
+
+        best0 = jax.lax.fori_loop(0, n_outliers, o_body, best0)
+
     init = (tn_box,                                        # t_cur [S,128]
-            tmax.reshape(1, R),                            # best_t
-            jnp.full((1, R), -1, jnp.int32),               # best_i
-            jnp.zeros((1, R), jnp.float32),
-            jnp.zeros((1, R), jnp.float32),
+            best0[0],                                      # best_t
+            best0[1],                                      # best_i
+            best0[2],
+            best0[3],
             # done: i32 plane (no i1 carries, no i1 reshapes — tmax/tmin
             # are already [SUB,128] planes); miss-box lanes start done
             (miss_box | ~(tmax > tmin)).astype(jnp.int32),
@@ -629,40 +706,47 @@ def _march_kernel(cell_tab_ref, cell_cl_ref, cl_aabb_ref, tris_hbm_ref,
             jnp.where(jnp.abs(dy) > 1e-20, (ny - py) * iy, big)),
             jnp.where(jnp.abs(dz) > 1e-20, (nz - pz) * iz, big))
 
-        # collect the union cells' clusters (ascending, CELL_CAP max)
+        # collect the union cells' clusters (ascending, CELL_CAP max);
+        # per-lane skip radius picked up per distinct cell (scalar bcast)
         processed = jnp.zeros((SUB, 128), jnp.int32)
+        radius = jnp.zeros((SUB, 128), jnp.float32)
 
         def collect(cap_i, carry):
-            qn, cur_min, processed = carry
+            qn, cur_min, processed, radius = carry
             valid_cell = cur_min < BIG_I
 
             def add(args):
-                qn, processed = args
+                qn, processed, radius = args
                 off = cell_tab_ref[cur_min, 0]
                 cnt = cell_tab_ref[cur_min, 1]
+                rad = cell_tab_ref[cur_min, 2]
                 fits = qn + cnt <= QCAP
 
                 def do(args):
-                    qn, processed = args
+                    qn, processed, radius = args
 
                     def push(j, q):
                         queue_ref[q] = cell_cl_ref[off + j, 0]
                         return q + 1
 
                     qn = jax.lax.fori_loop(0, cnt, push, qn)
-                    processed = processed | (cell == cur_min).astype(jnp.int32)
-                    return qn, processed
+                    in_c = cell == cur_min
+                    processed = processed | in_c.astype(jnp.int32)
+                    radius = jnp.where(in_c, rad.astype(jnp.float32), radius)
+                    return qn, processed, radius
 
-                return jax.lax.cond(fits, do, lambda a: a, (qn, processed))
+                return jax.lax.cond(fits, do, lambda a: a,
+                                    (qn, processed, radius))
 
-            qn, processed = jax.lax.cond(valid_cell, add,
-                                         lambda a: a, (qn, processed))
+            qn, processed, radius = jax.lax.cond(
+                valid_cell, add, lambda a: a, (qn, processed, radius))
             nxt = jnp.min(jnp.where(cell > cur_min, cell, BIGF))
-            return qn, nxt, processed
+            return qn, nxt, processed, radius
 
         first = jnp.min(cell)
-        qn, _, processed = jax.lax.fori_loop(
-            0, CELL_CAP, collect, (jnp.int32(0), first, processed))
+        qn, _, processed, radius = jax.lax.fori_loop(
+            0, CELL_CAP, collect,
+            (jnp.int32(0), first, processed, radius))
 
         # flush with double-buffered DMA
         @pl.when(qn > 0)
@@ -685,7 +769,9 @@ def _march_kernel(cell_tab_ref, cell_cl_ref, cl_aabb_ref, tris_hbm_ref,
         best_t, best_i, best_u, best_v = jax.lax.fori_loop(
             0, qn, f_body, (best_t, best_i, best_u, best_v))
 
-        # advance / terminate
+        # advance / terminate.  Empty-space skip: within a chebyshev-r
+        # empty ball every point can travel (r-1)*min_a(h_a/|d_a|) without
+        # touching occupied cells (proximity clouds)
         adv = live & (processed != 0)
         bt_pl = best_t.reshape(SUB, 128)
         bi_pl = best_i.reshape(SUB, 128)
@@ -693,7 +779,11 @@ def _march_kernel(cell_tab_ref, cell_cl_ref, cl_aabb_ref, tris_hbm_ref,
             newly_done = (~inside) | (bi_pl >= 0)
         else:
             newly_done = (~inside) | (adv & (bt_pl <= t_exit))
-        t_cur = jnp.where(adv, t_exit, t_cur)
+        t_cell_min = jnp.minimum(jnp.minimum(h0 * jnp.abs(ix),
+                                             h1 * jnp.abs(iy)),
+                                 h2 * jnp.abs(iz))
+        t_skip = t_cur + jnp.maximum(radius - 1.0, 0.0) * t_cell_min
+        t_cur = jnp.where(adv, jnp.maximum(t_exit, t_skip), t_cur)
         done = done | (live & newly_done).astype(jnp.int32)
         done = done | (t_cur >= tmax).astype(jnp.int32)
         return t_cur, best_t, best_i, best_u, best_v, done, it + 1
@@ -709,10 +799,10 @@ def _march_kernel(cell_tab_ref, cell_cl_ref, cl_aabb_ref, tris_hbm_ref,
 
 @functools.partial(jax.jit, static_argnames=('grid_lo', 'grid_h',
                                              'grid_dims', 'any_hit',
-                                             'interpret'))
-def _march_impl(cell_tab, cell_cl, cl_aabb, tris_hbm,
+                                             'n_outliers', 'interpret'))
+def _march_impl(cell_tab, cell_cl, cl_aabb, outliers, tris_hbm,
                 ray_pos, ray_dir, t_min, t_max,
-                grid_lo, grid_h, grid_dims, any_hit, interpret):
+                grid_lo, grid_h, grid_dims, any_hit, n_outliers, interpret):
     N = ray_pos.shape[0]
     n_tiles = -(-N // TILE)
     pad = n_tiles * TILE - N
@@ -729,6 +819,7 @@ def _march_impl(cell_tab, cell_cl, cl_aabb, tris_hbm,
                              memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         functools.partial(_march_kernel, any_hit=any_hit,
+                          n_outliers=n_outliers,
                           lo=grid_lo, h=grid_h, dims=grid_dims),
         grid=(n_tiles,),
         in_specs=[
@@ -737,6 +828,8 @@ def _march_impl(cell_tab, cell_cl, cl_aabb, tris_hbm,
             pl.BlockSpec(cell_cl.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(cl_aabb.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(outliers.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 8, SUB, 128), lambda i: (i, 0, 0, 0),
@@ -751,11 +844,11 @@ def _march_impl(cell_tab, cell_cl, cl_aabb, tris_hbm,
         ],
         scratch_shapes=[
             pltpu.SMEM((QCAP,), jnp.int32),
-            pltpu.VMEM((2, 4, WPAD), jnp.float32),
+            pltpu.VMEM((2, 8, WPAD), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(cell_tab, cell_cl, cl_aabb, tris_hbm, rays)
+    )(cell_tab, cell_cl, cl_aabb, outliers, tris_hbm, rays)
     t, tri, u, v = [o.reshape(n_tiles * TILE)[:N] for o in outs]
     return t, tri, u, v
 
@@ -767,6 +860,8 @@ def intersect_march(grid: GridPack, tris_hbm, ray_pos, ray_dir, t_min,
     Same output contract as intersect_stream / intersect_dda.  Relies on
     the caller's Morton/octant ray sorting for tile cell-coherence (the
     integrator sorts streamed scenes per bounce)."""
-    return _march_impl(grid.cell_tab, grid.cell_cl, grid.cl_aabb, tris_hbm,
+    return _march_impl(grid.cell_tab, grid.cell_cl, grid.cl_aabb,
+                       grid.outliers, tris_hbm,
                        ray_pos, ray_dir, t_min, t_max,
-                       grid.lo, grid.h, grid.dims, any_hit, interpret)
+                       grid.lo, grid.h, grid.dims, any_hit,
+                       grid.n_outliers, interpret)

@@ -119,7 +119,7 @@ def _kernel(nodes_f_ref, nodes_i_ref, tris_hbm_ref, rays_ref,
 
     def get_dma(slot, cluster):
         return pltpu.make_async_copy(
-            tris_hbm_ref.at[cluster],      # [4, WPAD]
+            tris_hbm_ref.at[cluster],      # [8, WPAD]
             buf_ref.at[slot],
             sem_ref.at[slot])
 
@@ -135,7 +135,7 @@ def _kernel(nodes_f_ref, nodes_i_ref, tris_hbm_ref, rays_ref,
         sublane blocks of TBK — exactly the dense layout the elementwise
         tail needs, with no in-kernel transposes."""
         best_t, best_i, best_u, best_v = carry
-        w = buf_ref[slot]                  # [4, WPAD]
+        w = buf_ref[slot, 0:4]             # [4, WPAD] (rows 4:8 padding)
         dn = (((0,), (0,)), ((), ()))
         po = jax.lax.dot_general(w, rhs_o, dn, precision=hi,
                                  preferred_element_type=jnp.float32)
@@ -277,7 +277,7 @@ def intersect_stream(nodes_f, nodes_i, tris_hbm, ray_pos, ray_dir,
     """Nearest-hit / any-hit over the streamed cluster BVH.
 
     nodes_f: [M, 8] f32 (bmin3, bmax3, pad2); nodes_i: [M, 4] i32 (skip,
-    cluster_slot | -1, tri_count, pad); tris_hbm: [C, 4, WPAD] f32
+    cluster_slot | -1, tri_count, pad); tris_hbm: [C, 8, WPAD] f32
     cluster-blocked Woop coefficient rows (HBM-resident; lane j of rows
     0..3 = the 4 affine coefficients of Woop row x/y/z for triangle
     j % TBK, block j // TBK).  Returns (t, tri, u, v) with tri = PADDED
@@ -328,7 +328,7 @@ def intersect_stream(nodes_f, nodes_i, tris_hbm, ray_pos, ray_dir,
         scratch_shapes=[
             pltpu.SMEM((QCAP,), jnp.int32),            # cluster queue
             pltpu.SMEM((QCAP,), jnp.int32),            # node id per entry
-            pltpu.VMEM((2, 4, WPAD), jnp.float32),     # DMA double buffer
+            pltpu.VMEM((2, 8, WPAD), jnp.float32),     # DMA double buffer
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -382,7 +382,10 @@ def pack_stream_bvh(bvh, v0, e1, e2):
     W[:, :, 3] = trans.astype(np.float32)
     W[bad] = 0.0
 
-    tris_hbm = np.zeros((max(C, 1), 4, WPAD), np.float32)
+    # 8 sublane rows (only 0..3 used): the (8,128) tile layout is then
+    # native, avoiding a per-call relayout copy of the whole HBM operand
+    # (measured ~31 ms FIXED per pallas_call at [C,4,WPAD] on v5e)
+    tris_hbm = np.zeros((max(C, 1), 8, WPAD), np.float32)
     order_padded = np.full(max(C, 1) * TBK, -1, np.int64)
     offs = bvh.tri_offset[leaf]
     cnts = bvh.tri_count[leaf]
@@ -391,6 +394,6 @@ def pack_stream_bvh(bvh, v0, e1, e2):
         # [k, 3, 4] -> rows = coefficient, lanes = comp_block * TBK + tri
         blk = W[o:o + k].transpose(2, 1, 0)         # [4, 3, k]
         for comp in range(3):
-            tris_hbm[c, :, comp * TBK:comp * TBK + k] = blk[:, comp, :]
+            tris_hbm[c, 0:4, comp * TBK:comp * TBK + k] = blk[:, comp, :]
         order_padded[c * TBK:c * TBK + k] = np.arange(o, o + k)
     return nodes_f, nodes_i, tris_hbm, order_padded

@@ -9,6 +9,7 @@ random streams identical to the reference's per-thread sequences.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -871,7 +872,8 @@ def trace_pass(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
     # streamed big scenes: sort live rays into coherent tiles before every
     # secondary-bounce trace (see _sort_rays_for_trace); the permutation is
     # inverted at pass end so callers keep positional accumulation
-    sort_rays = meta.use_stream and qmc_ctx is None and input_state is None
+    sort_rays = (meta.use_stream and qmc_ctx is None and input_state is None
+                 and os.environ.get('HYDRA_SORT', '1') != '0')
     orig = jnp.arange(state.flags.shape[0], dtype=jnp.int32)
 
     def bounce_body(b, state, b_dyn=None, orig=None):

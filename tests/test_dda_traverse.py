@@ -14,13 +14,13 @@ from hydracore3_tpu.accel import traverse_stream as TS
 from hydracore3_tpu.accel import traverse_dda as TD
 
 
-def build_all(v0, e1, e2):
+def build_all(v0, e1, e2, robust_aabb=True):
     bvh = build_bvh.build(v0, e1, e2, max_leaf=TS.TBK)
     order = bvh.order
     v0o, e1o, e2o = v0[order], e1[order], e2[order]
     nodes_f, nodes_i, tris_hbm, order_padded = TS.pack_stream_bvh(
         bvh, v0o, e1o, e2o)
-    grid = TD.pack_grid(nodes_f, nodes_i)
+    grid = TD.pack_grid(nodes_f, nodes_i, robust_aabb=robust_aabb)
     return grid, jnp.asarray(tris_hbm), order_padded, (v0o, e1o, e2o)
 
 
@@ -35,7 +35,8 @@ def random_scene(rng, n_tris, spread=4.0):
 def test_dda_vs_brute(n_tris, n_rays):
     rng = np.random.default_rng(23 + n_tris)
     v0, e1, e2 = random_scene(rng, n_tris)
-    grid, tris_hbm, order_padded, (v0o, e1o, e2o) = build_all(v0, e1, e2)
+    grid, tris_hbm, order_padded, (v0o, e1o, e2o) = build_all(
+        v0, e1, e2, robust_aabb=False)
 
     pos = rng.uniform(-6, 6, (n_rays, 3)).astype(np.float32)
     d = rng.normal(size=(n_rays, 3)).astype(np.float32)
@@ -64,7 +65,8 @@ def test_dda_vs_brute(n_tris, n_rays):
 def test_dda_any_hit_and_range():
     rng = np.random.default_rng(5)
     v0, e1, e2 = random_scene(rng, 800)
-    grid, tris_hbm, order_padded, (v0o, e1o, e2o) = build_all(v0, e1, e2)
+    grid, tris_hbm, order_padded, (v0o, e1o, e2o) = build_all(
+        v0, e1, e2, robust_aabb=False)
     n = 1024
     pos = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
     d = rng.normal(size=(n, 3)).astype(np.float32)
@@ -107,7 +109,7 @@ def test_dda_matches_stream_on_city_soup():
     v0 = P[I[:, 0]].astype(np.float32)
     e1 = (P[I[:, 1]] - P[I[:, 0]]).astype(np.float32)
     e2 = (P[I[:, 2]] - P[I[:, 0]]).astype(np.float32)
-    grid, tris_hbm, _, _ = build_all(v0, e1, e2)
+    grid, tris_hbm, _, _ = build_all(v0, e1, e2, robust_aabb=False)
     bvh = build_bvh.build(v0, e1, e2, max_leaf=TS.TBK)
     order = bvh.order
     nodes_f, nodes_i, tris_hbm2, _ = TS.pack_stream_bvh(
@@ -160,3 +162,46 @@ def test_march_vs_brute(any_hit):
         np.testing.assert_allclose(np.asarray(t)[hit_s],
                                    np.asarray(ref.t)[hit_r],
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_march_outlier_clusters():
+    """A far-flung overhead quad (the area-light pattern) must land in the
+    outlier list and still be hittable; rays into the dense region are
+    unaffected."""
+    rng = np.random.default_rng(4)
+    v0, e1, e2 = random_scene(rng, 600)          # dense cloud around origin
+    # big quad far above: 64+ tris so it forms its own clusters
+    n_far = TS.TBK
+    fx = rng.uniform(-40, 40, n_far).astype(np.float32)
+    fz = rng.uniform(-40, 40, n_far).astype(np.float32)
+    fv0 = np.stack([fx, np.full(n_far, 120.0, np.float32), fz], -1)
+    fe1 = np.tile(np.array([[3.0, 0, 0]], np.float32), (n_far, 1))
+    fe2 = np.tile(np.array([[0, 0, 3.0]], np.float32), (n_far, 1))
+    v0 = np.concatenate([v0, fv0])
+    e1 = np.concatenate([e1, fe1])
+    e2 = np.concatenate([e2, fe2])
+    grid, tris_hbm, order_padded, (v0o, e1o, e2o) = build_all(v0, e1, e2)
+    assert grid.n_outliers > 0, 'far quad should be outlier clusters'
+
+    n = 1024
+    pos = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:n // 2, 1] = np.abs(d[:n // 2, 1]) + 2.0   # aim half upward
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    pos, d = jnp.asarray(pos), jnp.asarray(d)
+    tmin = jnp.zeros((n,))
+    tmax = jnp.full((n,), 1e30)
+    t, tri, u, v = TD.intersect_march(grid, tris_hbm, pos, d, tmin, tmax,
+                                      interpret=True)
+    T = len(v0)
+    ref = TRV.intersect_brute(
+        jnp.asarray(v0o), jnp.asarray(e1o), jnp.asarray(e2o),
+        jnp.zeros(T, jnp.int32), jnp.zeros(T, jnp.int32),
+        jnp.arange(T, dtype=jnp.int32),
+        pos, d, tmin, tmax)
+    hit_s = np.asarray(tri) >= 0
+    hit_r = np.asarray(ref.t) < 1e29
+    np.testing.assert_array_equal(hit_s, hit_r)
+    np.testing.assert_allclose(np.asarray(t)[hit_s],
+                               np.asarray(ref.t)[hit_r],
+                               rtol=2e-4, atol=1e-5)
