@@ -445,6 +445,10 @@ def _trace_dda_impl(cell_tab, cell_cl, cl_aabb, tris_hbm,
         best_v = best_v[perm]
         done = done[perm]
         live = live[perm]
+        # `inside` must ride the permutation too: it is read again below to
+        # mark grid-exited lanes done (a staggered-exit scene otherwise
+        # marks the WRONG lanes done and silently drops their hits)
+        inside = inside[perm]
         cell = key[perm]
         t_exit = t_exit[perm]
 

@@ -345,8 +345,10 @@ def pack_stream_bvh(bvh, v0, e1, e2):
     """Host-side packing of a FlatBVH (max_leaf=TBK) into the streaming
     kernel's arrays.
 
-    Returns (nodes_f [M,8] f32, nodes_i [M,4] i32, tris_hbm [C,4,WPAD]
-    f32, order_padded [C*TBK] i64) where order_padded maps a PADDED
+    Returns (nodes_f [M,8] f32, nodes_i [M,4] i32, tris_hbm [C,8,WPAD]
+    f32 — rows 0..3 hold the Woop coefficients, rows 4..7 are (8,128)-tile
+    alignment padding — and order_padded [C*TBK] i64) where order_padded
+    maps a PADDED
     leaf-order index to the original (pre-build) triangle index, -1 for
     padding rows.  v0/e1/e2 must already be in the builder's leaf order
     (i.e. indexed by bvh.order on the caller side).

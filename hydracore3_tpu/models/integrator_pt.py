@@ -110,11 +110,14 @@ def _sort_rays_for_trace(state: RayState, orig):
     octant = ((d[:, 0] > 0).astype(jnp.int32) * 4
               + (d[:, 1] > 0).astype(jnp.int32) * 2
               + (d[:, 2] > 0).astype(jnp.int32))
-    # origin quantized against a fixed 1024^3 lattice of the scene's rough
-    # extent; out-of-range clamps are harmless (key quality only)
+    # origin quantized against a fixed 512^3 lattice of the scene's rough
+    # extent (9 bits/axis -> 27-bit Morton, so the octant bits at 27..29
+    # stay DISJOINT from the Morton code — 10-bit axes would reach bit 29
+    # and corrupt the octant-major ordering); out-of-range clamps are
+    # harmless (key quality only)
     lo = jnp.min(p, axis=0, keepdims=True)
     hi = jnp.max(p, axis=0, keepdims=True)
-    q = jnp.clip(((p - lo) / jnp.maximum(hi - lo, 1e-6) * 1023.0), 0, 1023
+    q = jnp.clip(((p - lo) / jnp.maximum(hi - lo, 1e-6) * 511.0), 0, 511
                  ).astype(jnp.int32)
     key = (_morton10(q[:, 0]) | (_morton10(q[:, 1]) << 1)
            | (_morton10(q[:, 2]) << 2))

@@ -7,10 +7,11 @@ subdivided building boxes, a ground plane and one large overhead area light —
 through the in-process API (api.py, the hydra_api analog), so the big-scene
 benchmark and its correctness tests are reproducible from the repo alone.
 
-The default city uses only diffuse/emissive materials and constant textures:
-intentionally megakernel-eligible (models/megakernel.py supported()), so the
-big-scene fast path exercises the full Pallas pipeline with the streamed
-BVH trace rather than a special-cased benchmark kernel.
+The default city uses diffuse/emissive materials; at 262k triangles it is
+far past the megakernel's VMEM gate (models/megakernel.py supported()
+rejects >4096 tris), so it renders through the XLA integrator with the
+HBM-streaming Pallas trace kernels (accel/traverse_stream.py grid-march /
+BVH walk) — the actual big-scene production routing.
 """
 from __future__ import annotations
 

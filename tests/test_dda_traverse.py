@@ -135,6 +135,47 @@ def test_dda_matches_stream_on_city_soup():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_dda_staggered_exit():
+    """Regression (advisor r4): v1 round_body computed `inside` BEFORE the
+    per-round argsort but used it after every other array was permuted, so
+    when some rays exited the grid while others still marched, the WRONG
+    lanes were marked done and their intersections silently dropped."""
+    rng = np.random.default_rng(77)
+    # triangles only in a thin slab at x in [3, 4] — rays crossing the grid
+    # toward +x march many rounds before hitting; rays pointing -x exit the
+    # grid almost immediately (staggered exit rounds)
+    v0, e1, e2 = random_scene(rng, 500, spread=0.4)
+    v0[:, 0] += 3.5
+    grid, tris_hbm, order_padded, (v0o, e1o, e2o) = build_all(
+        v0, e1, e2, robust_aabb=False)
+    n = 1024
+    pos = rng.uniform(-4, -3, (n, 3)).astype(np.float32)
+    pos[:, 1] = rng.uniform(-1, 1, n)
+    pos[:, 2] = rng.uniform(-1, 1, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    # half march across toward the slab; half exit backwards right away
+    d[::2, 0] = np.abs(d[::2, 0]) + 2.0
+    d[1::2, 0] = -np.abs(d[1::2, 0]) - 2.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    pos, d = jnp.asarray(pos), jnp.asarray(d)
+    tmin = jnp.zeros((n,))
+    tmax = jnp.full((n,), 1e30)
+    t, tri, u, v = TD.intersect_dda(grid, tris_hbm, pos, d, tmin, tmax,
+                                    interpret=True)
+    T = len(v0)
+    ref = TRV.intersect_brute(
+        jnp.asarray(v0o), jnp.asarray(e1o), jnp.asarray(e2o),
+        jnp.zeros(T, jnp.int32), jnp.zeros(T, jnp.int32),
+        jnp.arange(T, dtype=jnp.int32),
+        pos, d, tmin, tmax)
+    hit_s = np.asarray(tri) >= 0
+    hit_r = np.asarray(ref.t) < 1e29
+    np.testing.assert_array_equal(hit_s, hit_r)
+    np.testing.assert_allclose(np.asarray(t)[hit_s],
+                               np.asarray(ref.t)[hit_r],
+                               rtol=2e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize('any_hit', [False, True])
 def test_march_vs_brute(any_hit):
     """v2 in-kernel marching DDA vs the brute oracle."""
