@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -542,13 +543,27 @@ def intersect_dda(grid: GridPack, tris_hbm, ray_pos, ray_dir, t_min, t_max,
 # ===========================================================================
 
 MARCH_MAX = 192     # hard cap on in-kernel march iterations (safety)
+# per-round cell collection: iterate up to CELL_ITER distinct cells but
+# stop pushing once FLUSH_BUDGET clusters are queued.  Empty cells cost one
+# scalar iteration and no flush, so direction-diverged tiles (deep-bounce
+# rays) advance MANY lanes per round instead of stalling on a 4-cell cap —
+# the r4 CELL_CAP=4 starvation was the measured bounce>=2 wall (0.3 Mrays/s
+# while bounce 0 ran 10.9).
+CELL_ITER = int(os.environ.get('HYDRA_MARCH_CELLS', '24'))
+FLUSH_BUDGET = int(os.environ.get('HYDRA_MARCH_FLUSH', '12'))
 
 
 def _march_kernel(cell_tab_ref, cell_cl_ref, cl_aabb_ref, outliers_ref,
                   tris_hbm_ref,
                   rays_ref, out_t_ref, out_tri_ref, out_u_ref, out_v_ref,
-                  queue_ref, buf_ref, sem_ref, *, any_hit: bool,
-                  n_outliers: int, lo: tuple, h: tuple, dims: tuple):
+                  out_un_ref, *rest, any_hit: bool,
+                  n_outliers: int, lo: tuple, h: tuple, dims: tuple,
+                  march_max: int, with_stats: bool = False):
+    if with_stats:
+        it_out_ref, fl_out_ref, queue_ref, buf_ref, sem_ref = rest
+    else:
+        it_out_ref = fl_out_ref = None
+        queue_ref, buf_ref, sem_ref = rest
     px = rays_ref[0, 0]
     py = rays_ref[0, 1]
     pz = rays_ref[0, 2]
@@ -679,15 +694,16 @@ def _march_kernel(cell_tab_ref, cell_cl_ref, cl_aabb_ref, outliers_ref,
             # done: i32 plane (no i1 carries, no i1 reshapes — tmax/tmin
             # are already [SUB,128] planes); miss-box lanes start done
             (miss_box | ~(tmax > tmin)).astype(jnp.int32),
-            jnp.int32(0))                                  # iteration
+            jnp.int32(0),                                  # iteration
+            jnp.int32(0))                                  # clusters flushed
 
     def cond(s):
         done = s[5]
         it = s[6]
-        return (it < MARCH_MAX) & jnp.any(done == 0)
+        return (it < march_max) & jnp.any(done == 0)
 
     def body(s):
-        t_cur, best_t, best_i, best_u, best_v, done, it = s
+        t_cur, best_t, best_i, best_u, best_v, done, it, n_fl = s
         live = done == 0
         # current cell (vector math)
         tc = t_cur + eps
@@ -710,47 +726,50 @@ def _march_kernel(cell_tab_ref, cell_cl_ref, cl_aabb_ref, outliers_ref,
             jnp.where(jnp.abs(dy) > 1e-20, (ny - py) * iy, big)),
             jnp.where(jnp.abs(dz) > 1e-20, (nz - pz) * iz, big))
 
-        # collect the union cells' clusters (ascending, CELL_CAP max);
-        # per-lane skip radius picked up per distinct cell (scalar bcast)
+        # collect the union cells' clusters (ascending cell id) until the
+        # FLUSH_BUDGET cluster queue fills or CELL_ITER distinct cells were
+        # seen; per-lane skip radius picked up per distinct cell (scalar
+        # bcast).  Empty cells consume an iteration but no budget, so
+        # spread-out tiles still advance most lanes every round.
         processed = jnp.zeros((SUB, 128), jnp.int32)
         radius = jnp.zeros((SUB, 128), jnp.float32)
 
-        def collect(cap_i, carry):
-            qn, cur_min, processed, radius = carry
-            valid_cell = cur_min < BIG_I
+        def c_cond(carry):
+            qn, cur_min, processed, radius, c_it, stop = carry
+            return (~stop) & (cur_min < BIG_I) & (c_it < CELL_ITER)
 
-            def add(args):
+        def c_body(carry):
+            qn, cur_min, processed, radius, c_it, stop = carry
+            off = cell_tab_ref[cur_min, 0]
+            cnt = cell_tab_ref[cur_min, 1]
+            rad = cell_tab_ref[cur_min, 2]
+            # a cell is taken whole or not at all; the FIRST cell may
+            # exceed the budget alone (pack_grid bounds any cell by QCAP)
+            fits = (qn + cnt <= FLUSH_BUDGET) | ((qn == 0) & (cnt <= QCAP))
+
+            def do(args):
                 qn, processed, radius = args
-                off = cell_tab_ref[cur_min, 0]
-                cnt = cell_tab_ref[cur_min, 1]
-                rad = cell_tab_ref[cur_min, 2]
-                fits = qn + cnt <= QCAP
 
-                def do(args):
-                    qn, processed, radius = args
+                def push(j, q):
+                    queue_ref[q] = cell_cl_ref[off + j, 0]
+                    return q + 1
 
-                    def push(j, q):
-                        queue_ref[q] = cell_cl_ref[off + j, 0]
-                        return q + 1
-
-                    qn = jax.lax.fori_loop(0, cnt, push, qn)
-                    in_c = cell == cur_min
-                    processed = processed | in_c.astype(jnp.int32)
-                    radius = jnp.where(in_c, rad.astype(jnp.float32), radius)
-                    return qn, processed, radius
-
-                return jax.lax.cond(fits, do, lambda a: a,
-                                    (qn, processed, radius))
+                qn = jax.lax.fori_loop(0, cnt, push, qn)
+                in_c = cell == cur_min
+                processed = processed | in_c.astype(jnp.int32)
+                radius = jnp.where(in_c, rad.astype(jnp.float32), radius)
+                return qn, processed, radius
 
             qn, processed, radius = jax.lax.cond(
-                valid_cell, add, lambda a: a, (qn, processed, radius))
+                fits, do, lambda a: a, (qn, processed, radius))
             nxt = jnp.min(jnp.where(cell > cur_min, cell, BIGF))
-            return qn, nxt, processed, radius
+            cur_min = jnp.where(fits, nxt, cur_min)
+            return qn, cur_min, processed, radius, c_it + 1, ~fits
 
-        first = jnp.min(cell)
-        qn, _, processed, radius = jax.lax.fori_loop(
-            0, CELL_CAP, collect,
-            (jnp.int32(0), first, processed, radius))
+        qn, _, processed, radius, _, _ = jax.lax.while_loop(
+            c_cond, c_body,
+            (jnp.int32(0), jnp.min(cell), processed, radius,
+             jnp.int32(0), False))
 
         # flush with double-buffered DMA
         @pl.when(qn > 0)
@@ -790,23 +809,32 @@ def _march_kernel(cell_tab_ref, cell_cl_ref, cl_aabb_ref, outliers_ref,
         t_cur = jnp.where(adv, jnp.maximum(t_exit, t_skip), t_cur)
         done = done | (live & newly_done).astype(jnp.int32)
         done = done | (t_cur >= tmax).astype(jnp.int32)
-        return t_cur, best_t, best_i, best_u, best_v, done, it + 1
+        return t_cur, best_t, best_i, best_u, best_v, done, it + 1, n_fl + qn
 
-    _, best_t, best_i, best_u, best_v, _, _ = jax.lax.while_loop(
-        cond, body, init)
+    _, best_t, best_i, best_u, best_v, done, it_end, n_fl = \
+        jax.lax.while_loop(cond, body, init)
 
     out_t_ref[0] = best_t.reshape(SUB, 128)
     out_tri_ref[0] = best_i.reshape(SUB, 128)
     out_u_ref[0] = best_u.reshape(SUB, 128)
     out_v_ref[0] = best_v.reshape(SUB, 128)
+    # lanes still live after MARCH_MAX rounds: UNRESOLVED — the caller must
+    # re-trace them (the integrator routes them through the BVH walk) so
+    # cap exhaustion can never silently drop a hit
+    out_un_ref[0] = jnp.where(done == 0, 1, 0)
+    if it_out_ref is not None:
+        it_out_ref[0] = jnp.full((SUB, 128), it_end, jnp.int32)
+        fl_out_ref[0] = jnp.full((SUB, 128), n_fl, jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=('grid_lo', 'grid_h',
                                              'grid_dims', 'any_hit',
-                                             'n_outliers', 'interpret'))
+                                             'n_outliers', 'interpret',
+                                             'march_max', 'with_stats'))
 def _march_impl(cell_tab, cell_cl, cl_aabb, outliers, tris_hbm,
                 ray_pos, ray_dir, t_min, t_max,
-                grid_lo, grid_h, grid_dims, any_hit, n_outliers, interpret):
+                grid_lo, grid_h, grid_dims, any_hit, n_outliers, interpret,
+                march_max=MARCH_MAX, with_stats=False):
     N = ray_pos.shape[0]
     n_tiles = -(-N // TILE)
     pad = n_tiles * TILE - N
@@ -821,10 +849,12 @@ def _march_impl(cell_tab, cell_cl, cl_aabb, outliers, tris_hbm,
     rays = rays.reshape(8, n_tiles, SUB, 128).transpose(1, 0, 2, 3)
     tile_spec = pl.BlockSpec((1, SUB, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
+    n_out = 7 if with_stats else 5
     outs = pl.pallas_call(
         functools.partial(_march_kernel, any_hit=any_hit,
                           n_outliers=n_outliers,
-                          lo=grid_lo, h=grid_h, dims=grid_dims),
+                          lo=grid_lo, h=grid_h, dims=grid_dims,
+                          march_max=march_max, with_stats=with_stats),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(cell_tab.shape, lambda i: (0, 0),
@@ -839,13 +869,15 @@ def _march_impl(cell_tab, cell_cl, cl_aabb, outliers, tris_hbm,
             pl.BlockSpec((1, 8, SUB, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[tile_spec] * 4,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, SUB, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, SUB, 128), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles, SUB, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, SUB, 128), jnp.float32),
-        ],
+        out_specs=[tile_spec] * n_out,
+        out_shape=(
+            [jax.ShapeDtypeStruct((n_tiles, SUB, 128), jnp.float32),
+             jax.ShapeDtypeStruct((n_tiles, SUB, 128), jnp.int32),
+             jax.ShapeDtypeStruct((n_tiles, SUB, 128), jnp.float32),
+             jax.ShapeDtypeStruct((n_tiles, SUB, 128), jnp.float32),
+             jax.ShapeDtypeStruct((n_tiles, SUB, 128), jnp.int32)]
+            + [jax.ShapeDtypeStruct((n_tiles, SUB, 128), jnp.int32)] * 2
+            * with_stats),
         scratch_shapes=[
             pltpu.SMEM((QCAP,), jnp.int32),
             pltpu.VMEM((2, 8, WPAD), jnp.float32),
@@ -853,19 +885,35 @@ def _march_impl(cell_tab, cell_cl, cl_aabb, outliers, tris_hbm,
         ],
         interpret=interpret,
     )(cell_tab, cell_cl, cl_aabb, outliers, tris_hbm, rays)
-    t, tri, u, v = [o.reshape(n_tiles * TILE)[:N] for o in outs]
-    return t, tri, u, v
+    t, tri, u, v, un = [o.reshape(n_tiles * TILE)[:N] for o in outs[:5]]
+    if with_stats:
+        stats = jnp.stack([outs[5][:, 0, 0], outs[6][:, 0, 0]], axis=-1)
+        return t, tri, u, v, un, stats
+    return t, tri, u, v, un
 
 
 def intersect_march(grid: GridPack, tris_hbm, ray_pos, ray_dir, t_min,
-                    t_max, any_hit: bool = False, interpret: bool = False):
+                    t_max, any_hit: bool = False, interpret: bool = False,
+                    march_max: int = None,
+                    with_unresolved: bool = False, with_stats: bool = False):
     """v2 DDA: the whole grid march runs inside one kernel per ray tile.
 
-    Same output contract as intersect_stream / intersect_dda.  Relies on
-    the caller's Morton/octant ray sorting for tile cell-coherence (the
-    integrator sorts streamed scenes per bounce)."""
-    return _march_impl(grid.cell_tab, grid.cell_cl, grid.cl_aabb,
-                       grid.outliers, tris_hbm,
-                       ray_pos, ray_dir, t_min, t_max,
-                       grid.lo, grid.h, grid.dims, any_hit,
-                       grid.n_outliers, interpret)
+    Same output contract as intersect_stream / intersect_dda; with
+    ``with_unresolved`` also returns a [N] i32 mask of lanes still live
+    when MARCH_MAX was exhausted (hit/miss NOT final — re-trace those; the
+    integrator falls back to the BVH walk).  Relies on the caller's
+    Morton/octant ray sorting for tile cell-coherence (the integrator
+    sorts streamed scenes per bounce)."""
+    out = _march_impl(grid.cell_tab, grid.cell_cl, grid.cl_aabb,
+                      grid.outliers, tris_hbm,
+                      ray_pos, ray_dir, t_min, t_max,
+                      grid.lo, grid.h, grid.dims, any_hit,
+                      grid.n_outliers, interpret,
+                      MARCH_MAX if march_max is None else march_max,
+                      with_stats)
+    if with_stats:
+        return out
+    t, tri, u, v, un = out
+    if with_unresolved:
+        return t, tri, u, v, un
+    return t, tri, u, v

@@ -44,6 +44,7 @@ class MaterialDesc:
     name: str = 'mat'
     diffuse_color: tuple = (0.5, 0.5, 0.5)
     diffuse_tex_id: int = -1
+    diffuse_tex_matrix: tuple = None   # 8 floats (sampler row0, row1)
     emission_color: tuple = None   # not None => emissive (light material)
     reflectivity: tuple = None     # mirror-ish specular color
     glossiness: float = 1.0
@@ -58,6 +59,26 @@ class AreaLightDesc:
     half_width: float = 1.0
     half_length: float = 1.0
     matrix: np.ndarray = None      # placement
+
+
+@dataclasses.dataclass
+class TextureDesc:
+    """In-memory texture (hrTexture2DCreateFromMemory analog).
+
+    data: [H, W, 4] uint8 (LDR, written as .image4ub, sRGB like file
+    textures) or float32 (HDR, written as .image4f — required for an
+    importance-sampled env map, scene/build.py sky branch)."""
+    name: str = 'tex'
+    data: np.ndarray = None
+
+
+@dataclasses.dataclass
+class EnvLightDesc:
+    """Sky/environment light (light type="sky"); tex_id = lat-long map."""
+    color: tuple = (1.0, 1.0, 1.0)
+    multiplier: float = 1.0
+    tex_id: int = -1
+    tex_matrix: tuple = None       # 8 floats (sampler row0, row1)
 
 
 @dataclasses.dataclass
@@ -79,6 +100,8 @@ class HRSceneInst:
         self.meshes: list[MeshData] = []
         self.materials: list[MaterialDesc] = []
         self.lights: list[AreaLightDesc] = []
+        self.textures: list[TextureDesc] = []
+        self.env: EnvLightDesc = None
         self.instances: list[tuple[int, np.ndarray]] = []  # (mesh_id, matrix)
         self.camera = CameraDesc()
         self.width = 256
@@ -107,6 +130,28 @@ class HRSceneInst:
     def light_area(self, **kw) -> int:
         self.lights.append(AreaLightDesc(**kw))
         return len(self.lights) - 1
+
+    def texture_create(self, data, name: str = 'tex') -> int:
+        """Texture from a numpy [H, W, 3|4] array (uint8 LDR / float32 HDR);
+        returns the texture id usable in material diffuse_tex_id /
+        light_env tex_id (hrTexture2DCreateFromMemory analog)."""
+        data = np.asarray(data)
+        if data.ndim != 3 or data.shape[2] not in (3, 4):
+            raise ValueError('texture data must be [H, W, 3|4]')
+        if data.shape[2] == 3:
+            alpha = (np.full(data.shape[:2] + (1,), 255, np.uint8)
+                     if data.dtype == np.uint8
+                     else np.ones(data.shape[:2] + (1,), np.float32))
+            data = np.concatenate([data, alpha], axis=2)
+        if data.dtype != np.uint8:
+            data = data.astype(np.float32)
+        self.textures.append(TextureDesc(name=name, data=data))
+        return len(self.textures) - 1
+
+    def light_env(self, **kw):
+        """Environment (sky) light; tex_id selects a float32 lat-long map
+        for importance sampling (light type="sky", clight.h env path)."""
+        self.env = EnvLightDesc(**kw)
 
     def instance_add(self, mesh_id: int, matrix=None) -> int:
         m = np.eye(4, dtype=np.float32) if matrix is None \
@@ -180,7 +225,32 @@ class HRSceneInst:
             mesh_locs.append(loc)
 
         parts = ['<?xml version="1.0"?>']
-        parts.append('<textures_lib>\n</textures_lib>')
+        parts.append('<textures_lib>')
+        for i, T in enumerate(self.textures):
+            h, w = T.data.shape[:2]
+            if T.data.dtype == np.uint8:
+                loc = f'data/tex_{i:05d}.image4ub'
+                payload = T.data.tobytes()
+            else:
+                loc = f'data/tex_{i:05d}.image4f'
+                payload = T.data.astype('<f4').tobytes()
+            with open(os.path.join(out_dir, loc), 'wb') as f:
+                f.write(np.array([w, h], '<i4').tobytes())
+                f.write(payload)
+            parts.append(
+                f'  <texture id="{i}" name="{escape(T.name)}" loc="{loc}" '
+                f'offset="8" bytesize="{len(payload)}" width="{w}" '
+                f'height="{h}" channels="4" dl="0" />')
+        parts.append('</textures_lib>')
+
+        def _tex_node(tex_id, tex_matrix):
+            mat_attr = ''
+            if tex_matrix is not None:
+                mat_attr = (' matrix="'
+                            + ' '.join(str(v) for v in tex_matrix) + '"')
+            return (f'<texture id="{tex_id}" type="texref"'
+                    f'{mat_attr} addressing_mode_u="wrap" '
+                    'addressing_mode_v="wrap" filter="linear" />')
 
         parts.append('<materials_lib>')
         for i, mat in enumerate(materials):
@@ -192,7 +262,7 @@ class HRSceneInst:
                 parts.append(f'    <emission><color val="{c}" /></emission>')
             else:
                 c = ' '.join(str(v) for v in mat.diffuse_color)
-                tex = (f'<texture id="{mat.diffuse_tex_id}" type="texref" />'
+                tex = (_tex_node(mat.diffuse_tex_id, mat.diffuse_tex_matrix)
                        if mat.diffuse_tex_id >= 0 else '')
                 parts.append('    <diffuse brdf_type="lambert">'
                              f'<color val="{c}">{tex}</color></diffuse>')
@@ -223,6 +293,17 @@ class HRSceneInst:
                 f'half_width="{L.half_width}" />\n'
                 f'    <intensity><color val="{c}" />'
                 f'<multiplier val="{L.multiplier}" /></intensity>\n'
+                '  </light>')
+        if self.env is not None:
+            E = self.env
+            c = ' '.join(str(v) for v in E.color)
+            tex = (_tex_node(E.tex_id, E.tex_matrix)
+                   if E.tex_id >= 0 else '')
+            parts.append(
+                f'  <light id="{len(self.lights)}" name="env" type="sky" '
+                'shape="point" distribution="uniform" visible="1">\n'
+                f'    <intensity><color val="{c}">{tex}</color>'
+                f'<multiplier val="{E.multiplier}" /></intensity>\n'
                 '  </light>')
         parts.append('</lights_lib>')
 
@@ -262,6 +343,12 @@ class HRSceneInst:
             mstr = ' '.join(f'{v:g}' for v in m.reshape(-1))
             parts.append(f'    <instance_light id="{i}" light_id="{i}" '
                          f'matrix="{mstr}" lgroup_id="-1" />')
+        if self.env is not None:
+            eid = len(self.lights)
+            eye = ' '.join(f'{v:g}'
+                           for v in np.eye(4, dtype=np.float32).reshape(-1))
+            parts.append(f'    <instance_light id="{eid}" light_id="{eid}" '
+                         f'matrix="{eye}" lgroup_id="-1" />')
         for mesh_id, m, lid in light_instances:
             mstr = ' '.join(f'{v:g}' for v in m.reshape(-1))
             parts.append(f'    <instance id="{iid}" mesh_id="{mesh_id}" '

@@ -414,10 +414,29 @@ def kernel_ray_trace(scene: Scene, meta: SceneMeta, state: RayState, bounce: int
                 # nearest-hit rides the in-kernel grid march (2.4-2.5x the
                 # BVH walk for camera/bounce classes on v5e, PERF_NOTES r4)
                 from ..accel import traverse_dda as TDD
-                pt, ptri, pu, pv = TDD.intersect_march(
+                from ..accel import traverse_stream as TST
+                pt, ptri, pu, pv, un = TDD.intersect_march(
                     scene.st_grid, scene.st_tris,
                     state.ray_pos, state.ray_dir, t_min, t_max,
-                    interpret=interp)
+                    interpret=interp, with_unresolved=True)
+                if _os.environ.get('HYDRA_MARCH_FALLBACK', '1') != '0':
+                    # lanes the march could not finish within MARCH_MAX
+                    # rounds (cap exhaustion / cell starvation — e.g. the
+                    # UNSORTED QMC / input-ray streams) re-trace through
+                    # the BVH walk; resolved lanes get an empty [1, 0)
+                    # interval so their tiles fail the root slab and the
+                    # fallback kernel exits in a few node steps.
+                    sel = un > 0
+                    ft, ftri, fu, fv = TST.intersect_stream(
+                        scene.st_nodes_f, scene.st_nodes_i, scene.st_tris,
+                        state.ray_pos, state.ray_dir,
+                        jnp.where(sel, t_min, 1.0),
+                        jnp.where(sel, t_max, 0.0),
+                        interpret=interp)
+                    pt = jnp.where(sel, ft, pt)
+                    ptri = jnp.where(sel, ftri, ptri)
+                    pu = jnp.where(sel, fu, pu)
+                    pv = jnp.where(sel, fv, pv)
             elif meta.use_stream:
                 from ..accel import traverse_stream as TST
                 pt, ptri, pu, pv = TST.intersect_stream(

