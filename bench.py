@@ -73,10 +73,18 @@ def bench_city():
     from hydracore3_tpu import render as R
 
     spp = int(os.environ.get('BENCH_BIG_SPP', '4'))
-    scene, meta = synth.city_scene(width=1024, height=1024, depth=5)
+    # textured=True: procedural facades + asphalt + env sky map, so the
+    # bench carries sponza-class SHADING load (BASELINE.md rows 2-3 are
+    # textured), not just sponza-class geometry (VERDICT r4 item 3)
+    scene, meta = synth.city_scene(width=1024, height=1024, depth=5,
+                                   textured=True)
     assert meta.use_stream, 'city must route through the streamed BVH'
 
-    tile = 1 << 15
+    # whole-image tiles (1M rays in flight): denser cell population after
+    # the per-bounce ray sort keeps shrinking march flushes/ray — the
+    # density ladder measured 0.080 / 0.172 / 0.245 / 0.291 Ms/s at
+    # 32k / 131k / 524k / 1M rays per pass (docs/PERF_NOTES.md r5)
+    tile = 1 << 20
     R.render(scene, meta, spp=1, integrator='mispt', tile_size=tile)
 
     t0 = time.time()

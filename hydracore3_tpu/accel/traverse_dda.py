@@ -392,6 +392,7 @@ def _trace_dda_impl(cell_tab, cell_cl, cl_aabb, tris_hbm,
                     grid_lo, grid_h, grid_dims,
                     any_hit: bool, interpret: bool, max_rounds: int):
     N = ray_pos.shape[0]
+    t_max = jnp.minimum(t_max, 0.99 * FLT_MAX)
     n_tiles = -(-N // TILE)
     pad = n_tiles * TILE - N
     if pad:
@@ -836,6 +837,8 @@ def _march_impl(cell_tab, cell_cl, cl_aabb, outliers, tris_hbm,
                 grid_lo, grid_h, grid_dims, any_hit, n_outliers, interpret,
                 march_max=MARCH_MAX, with_stats=False):
     N = ray_pos.shape[0]
+    # below the miss sentinel (see traverse_stream.intersect_stream)
+    t_max = jnp.minimum(t_max, 0.99 * FLT_MAX)
     n_tiles = -(-N // TILE)
     pad = n_tiles * TILE - N
     if pad:

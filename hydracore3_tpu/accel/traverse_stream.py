@@ -285,6 +285,11 @@ def intersect_stream(nodes_f, nodes_i, tris_hbm, ray_pos, ray_dir,
     any_hit, tri >= 0 flags occlusion.
     """
     N = ray_pos.shape[0]
+    # clamp below the kernel's miss sentinel: with t_max >= FLT_MAX a
+    # flushed cluster with NO valid intersection would register a false
+    # 'hit' at the sentinel t (min over all-FLT_MAX rows compares < the
+    # true float max the integrator passes)
+    t_max = jnp.minimum(t_max, 0.99 * FLT_MAX)
     n_tiles = -(-N // TILE)
     pad = n_tiles * TILE - N
     if pad:

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..ops.gather import gather_1d
+
 from ..utils.lmath import INV_PI, dot, normalize, coordinate_system_v2, lerp
 from . import common as C
 from ..scene import build as B
@@ -18,8 +20,8 @@ EPS32 = 5.960464477539063e-8
 def _lerp_lut(arrays1f, offset, x):
     xf = x * (MI_ROUGH_TRANSMITTANCE_RES - 1)
     idx = jnp.minimum(xf.astype(jnp.int32), MI_ROUGH_TRANSMITTANCE_RES - 2)
-    v0 = arrays1f[offset + idx]
-    v1 = arrays1f[offset + idx + 1]
+    v0 = gather_1d(arrays1f, offset + idx)
+    v1 = gather_1d(arrays1f, offset + idx + 1)
     return lerp(v0, v1, xf - idx.astype(jnp.float32))
 
 

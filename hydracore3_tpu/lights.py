@@ -12,6 +12,7 @@ from .utils.lmath import (
     M_PI, safe_arccos, dot, normalize, mul3x3, mul4x4_vec, epsilon_of_pos, map_samples_to_disc,
     pdf_a_to_w, mul_rows_2x4, sphere_map_to_2d_tex_coord, tex_coord_2d_to_sphere_map,
 )
+from .ops.gather import gather_1d
 from .ops import texture as TEX
 from .ops import spectrum as SPEC
 from .scene.build import (
@@ -52,22 +53,27 @@ def _sample_map_2d(scene: Scene, rands3, table_offset, size_x, size_y):
     fw = size_x.astype(jnp.float32)
     fh = size_y.astype(jnp.float32)
     n = size_x * size_y
-    total = scene.arrays1f[table_offset + n]
+    total = gather_1d(scene.arrays1f, table_offset + n)
     x = rands3[..., 2] * total
     # binary search over the prefix table: find largest i with accum[i] < x <= accum[i+1]
     # vectorized manual binary search (table is shared but offset per ray)
     lo = jnp.zeros_like(n)
     hi = n - 1
-    for _ in range(24):  # 2^24 > any table size
+    # static iteration bound from the (static) backing-array size: any
+    # light's table fits inside arrays1f, so ceil(log2(len)) steps suffice
+    steps = max(int(scene.arrays1f.shape[0] - 1).bit_length(), 1)
+    for _ in range(steps):
         mid = (lo + hi) // 2
-        a = scene.arrays1f[table_offset + mid]
+        a = gather_1d(scene.arrays1f, table_offset + mid)
         go_right = a < x
         lo = jnp.where(go_right, jnp.minimum(mid + 1, hi), lo)
         hi = jnp.where(go_right, hi, mid)
-    pixel = jnp.clip(lo - 1 + (scene.arrays1f[table_offset + lo] < x).astype(jnp.int32), 0, n - 1)
+    pixel = jnp.clip(lo - 1 + (gather_1d(scene.arrays1f, table_offset + lo)
+                                < x).astype(jnp.int32), 0, n - 1)
     # ensure accum[pixel] < x <= accum[pixel+1] approximately
-    pdf = ((scene.arrays1f[table_offset + pixel + 1]
-            - scene.arrays1f[table_offset + pixel]) / jnp.maximum(total, 1e-30))
+    pdf = ((gather_1d(scene.arrays1f, table_offset + pixel + 1)
+            - gather_1d(scene.arrays1f, table_offset + pixel))
+           / jnp.maximum(total, 1e-30))
     # integer divide by a dynamic divisor is ~30 ops on TPU; float-divide
     # then fix up exactly with one multiply/compare round
     y_pos = (pixel.astype(jnp.float32) / fw).astype(jnp.int32)
@@ -91,9 +97,9 @@ def _eval_map_2d_pdf(scene: Scene, tex_coord, table_offset, size_x, size_y):
     px = jnp.clip((fw * tx - 0.5).astype(jnp.int32), 0, size_x - 1)
     py = jnp.clip((fh * ty - 0.5).astype(jnp.int32), 0, size_y - 1)
     off = py * size_x + px
-    v0 = scene.arrays1f[table_offset + off]
-    v1 = scene.arrays1f[table_offset + off + 1]
-    total = scene.arrays1f[table_offset + size_x * size_y]
+    v0 = gather_1d(scene.arrays1f, table_offset + off)
+    v1 = gather_1d(scene.arrays1f, table_offset + off + 1)
+    total = gather_1d(scene.arrays1f, table_offset + size_x * size_y)
     return (v1 - v0) * fw * fh / jnp.maximum(total, 1e-30)
 
 

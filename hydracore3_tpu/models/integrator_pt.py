@@ -91,42 +91,86 @@ def _morton10(q):
     return q
 
 
-def _sort_rays_for_trace(state: RayState, orig):
+def _permute_state(state: RayState, orig, perm):
+    """Apply a row permutation to the whole ray state with ONE row gather.
+
+    A tree_map of per-array gathers lowers to ~18 separate 1-D kCustom
+    gathers at ~1 ms each per 131k rays (r5 xplane: ~200 such ops = 190 ms
+    of a 926 ms pass).  Packing the state into one [N, 39] f32 matrix
+    (ints bitcast, exact) turns the permutation into a single row-DMA
+    gather (~0.2 ms)."""
+    N = orig.shape[0]
+    arrs = list(state) + [orig]
+
+    def to_f32(a):
+        a2 = a.reshape(N, -1)
+        if a2.dtype != jnp.float32:
+            a2 = jax.lax.bitcast_convert_type(a2, jnp.float32)
+        return a2
+
+    cols = [to_f32(a) for a in arrs]
+    widths = [c.shape[1] for c in cols]
+    flat = jnp.concatenate(cols, axis=1)[perm]
+    out = []
+    off = 0
+    for a, w in zip(arrs, widths):
+        c = flat[:, off:off + w]
+        off += w
+        if a.dtype != jnp.float32:
+            c = jax.lax.bitcast_convert_type(c, a.dtype)
+        out.append(c.reshape(a.shape))
+    return RayState(*out[:-1]), out[-1]
+
+
+def _sort_rays_for_trace(state: RayState, orig, grid=None):
     """Bounce-ray coherence sort for the streamed big-scene path.
 
-    The streaming Pallas kernel (accel/traverse_stream.py) walks ONE shared
-    BVH cut per [SUB,128]-ray tile, so a tile pays for the UNION of its
-    rays' traversal.  Sorting live rays by (direction octant, origin
-    Morton) packs tiles into tight frusta — measured 2.2x on diffuse-bounce
-    and shadow traces on the 215k-tri city (docs/PERF_NOTES.md r4).  Dead
-    rays sort to the end, giving early-exit tiles for free (the wavefront
+    The streaming Pallas kernels (accel/traverse_stream.py, _dda.py) pay
+    for the UNION of a [SUB,128]-ray tile's traversal work, so live rays
+    are packed into coherent tiles before every secondary trace; dead rays
+    sort to the end, giving early-exit tiles for free (the wavefront
     compaction idea, kmake_wave.json:11, without moving rays between
     dispatches).
+
+    With ``grid`` (the scene's march GridPack): key = (origin GRID CELL
+    major, quantized direction minor) — tiles start in the same DDA cell
+    and diverge slowest (r5 measured: 0.23 -> 0.27 Mrays/s on bounce-2
+    city rays vs the octant/Morton key).  Without a grid: (direction
+    octant, 27-bit origin Morton), the r4 key.
 
     ``orig`` tracks each row's original position so callers can invert the
     permutation at pass end.  Returns (state, orig)."""
     d = state.ray_dir
     p = state.ray_pos
-    octant = ((d[:, 0] > 0).astype(jnp.int32) * 4
-              + (d[:, 1] > 0).astype(jnp.int32) * 2
-              + (d[:, 2] > 0).astype(jnp.int32))
-    # origin quantized against a fixed 512^3 lattice of the scene's rough
-    # extent (9 bits/axis -> 27-bit Morton, so the octant bits at 27..29
-    # stay DISJOINT from the Morton code — 10-bit axes would reach bit 29
-    # and corrupt the octant-major ordering); out-of-range clamps are
-    # harmless (key quality only)
-    lo = jnp.min(p, axis=0, keepdims=True)
-    hi = jnp.max(p, axis=0, keepdims=True)
-    q = jnp.clip(((p - lo) / jnp.maximum(hi - lo, 1e-6) * 511.0), 0, 511
-                 ).astype(jnp.int32)
-    key = (_morton10(q[:, 0]) | (_morton10(q[:, 1]) << 1)
-           | (_morton10(q[:, 2]) << 2))
-    # octant above morton; dead rays above everything
-    key = key | (octant << 27)
+    if grid is not None:
+        lo = jnp.asarray(grid.lo, jnp.float32)
+        h = jnp.asarray(grid.h, jnp.float32)
+        d1, d2 = grid.dims[1], grid.dims[2]
+        q = jnp.clip(jnp.floor((p - lo[None]) / h[None]).astype(jnp.int32),
+                     0, jnp.asarray(grid.dims, jnp.int32)[None] - 1)
+        cell = q[:, 0] * (d1 * d2) + q[:, 1] * d2 + q[:, 2]   # <= 18 bits
+        u = jnp.clip(d[:, 0] * 16 + 16, 0, 31).astype(jnp.int32)
+        v = jnp.clip(d[:, 1] * 16 + 16, 0, 31).astype(jnp.int32)
+        key = cell * 1024 + (u * 32 + v)                      # 28 bits
+    else:
+        octant = ((d[:, 0] > 0).astype(jnp.int32) * 4
+                  + (d[:, 1] > 0).astype(jnp.int32) * 2
+                  + (d[:, 2] > 0).astype(jnp.int32))
+        # origin quantized against a fixed 512^3 lattice of the scene's
+        # rough extent (9 bits/axis -> 27-bit Morton, so the octant bits
+        # at 27..29 stay DISJOINT from the Morton code); out-of-range
+        # clamps are harmless (key quality only)
+        lo = jnp.min(p, axis=0, keepdims=True)
+        hi = jnp.max(p, axis=0, keepdims=True)
+        q = jnp.clip(((p - lo) / jnp.maximum(hi - lo, 1e-6) * 511.0), 0, 511
+                     ).astype(jnp.int32)
+        key = (_morton10(q[:, 0]) | (_morton10(q[:, 1]) << 1)
+               | (_morton10(q[:, 2]) << 2))
+        # octant above morton; dead rays above everything
+        key = key | (octant << 27)
     key = jnp.where(_is_dead(state.flags), jnp.int32(0x7FFFFFFF), key)
     perm = jnp.argsort(key)
-    state = jax.tree_util.tree_map(lambda a: a[perm], state)
-    return state, orig[perm]
+    return _permute_state(state, orig, perm)
 
 
 def _intersect_spherical_element(radius, z_center, pos, d):
@@ -355,7 +399,37 @@ def kernel_ray_trace(scene: Scene, meta: SceneMeta, state: RayState, bounce: int
     t_max = jnp.where(live, _F32MAX, 0.0)  # dead rays trace nothing
 
     from ..ops.gather import gather_rows, gather_rows_i32, gather_1d
-    if meta.use_two_level:
+    if meta.use_stream_tlas:
+        # streamed two-level: in-kernel TLAS walk over instance transforms
+        # with per-mesh HBM cluster BVHs (accel/traverse_tlas.py; the
+        # CrossRT BLAS/TLAS contract at O(mesh) memory).  Shade rows are
+        # OBJECT-space; normals/tangents transform by the instance normal
+        # matrix (integrator_pt.cpp:263-292).
+        from ..accel import traverse_tlas as TT
+        interp = jax.default_backend() != 'tpu'
+        pt, ptri, pu, pv, pinst = TT.intersect_stream_tlas(
+            scene.tt_tlas_f, scene.tt_tlas_i, scene.tt_nodes_f,
+            scene.tt_nodes_i, scene.tt_inst_f, scene.tt_inst_i,
+            scene.tt_tris, state.ray_pos, state.ray_dir, t_min, t_max,
+            interpret=interp)
+        found = ptri >= 0
+        hit_pos = state.ray_pos + (pt * (1.0 - 1e-6))[..., None] * state.ray_dir
+        safe = jnp.maximum(ptri, 0)
+        safe_inst = jnp.maximum(pinst, 0)
+        shade = gather_rows(scene.tt_shade, safe)       # [N,32] object space
+        wa = (1.0 - pu - pv)[..., None]
+        wb = pu[..., None]
+        wc = pv[..., None]
+        data = wa * shade[..., 0:8] + wb * shade[..., 8:16] + wc * shade[..., 16:24]
+        nm = gather_rows(scene.tt_inst_nm, safe_inst).reshape(-1, 4, 4)[:, :3, :3]
+        hit_norm = jnp.einsum('nij,nj->ni', nm, data[..., 0:3])
+        hit_tang = jnp.einsum('nij,nj->ni', nm, data[..., 4:7])
+        hit_uv = jnp.stack([data[..., 3], data[..., 7]], -1)
+        mid0 = shade[..., 24].astype(jnp.int32)
+        mid = _remap_material_id(scene, mid0, pinst)
+        hit_t = jnp.where(found, pt, _F32MAX)
+        hit_inst_id = jnp.where(found, pinst, -1)
+    elif meta.use_two_level:
         # two-level BLAS/TLAS query with matrix-lerped motion
         # (RayQuery_NearestHitMotion, CrossRT.h:160-174)
         tlv = scene.two_level
@@ -566,7 +640,17 @@ def kernel_sample_light_source(scene: Scene, meta: SceneMeta, state: RayState,
 
     in_illum = (LM.dot(shadow_dir, lsam['norm']) < 0.0) | lsam['is_omni'] | lsam['has_ies']
     need_trace = live & in_illum
-    if meta.use_two_level:
+    if meta.use_stream_tlas:
+        from ..accel import traverse_tlas as TT
+        _, stri, _, _, _ = TT.intersect_stream_tlas(
+            scene.tt_tlas_f, scene.tt_tlas_i, scene.tt_nodes_f,
+            scene.tt_nodes_i, scene.tt_inst_f, scene.tt_inst_i,
+            scene.tt_tris, shadow_pos, shadow_dir,
+            jnp.zeros((N,), jnp.float32),
+            jnp.where(need_trace, hit_dist * 0.9995, 0.0),
+            any_hit=True, interpret=jax.default_backend() != 'tpu')
+        occluded = stri >= 0
+    elif meta.use_two_level:
         _, stri, _, _, _ = TL2.intersect_two_level(
             scene.two_level, shadow_pos, shadow_dir,
             jnp.zeros((N,), jnp.float32),
@@ -575,12 +659,46 @@ def kernel_sample_light_source(scene: Scene, meta: SceneMeta, state: RayState,
         occluded = stri >= 0
     elif meta.use_stream:
         from ..accel import traverse_stream as TST
-        _, stri, _, _ = TST.intersect_stream(
-            scene.st_nodes_f, scene.st_nodes_i, scene.st_tris,
-            shadow_pos, shadow_dir, jnp.zeros((N,), jnp.float32),
-            jnp.where(need_trace, hit_dist * 0.9995, 0.0),
-            any_hit=True, interpret=jax.default_backend() != 'tpu')
-        occluded = stri >= 0
+        s_tmax = jnp.where(need_trace, hit_dist * 0.9995, 0.0)
+        sort_sh = (scene.st_grid is not None
+                   and os.environ.get('HYDRA_SORT', '1') != '0')
+        if sort_sh:
+            # shadow rays get their OWN coherence sort: the bounce-trace
+            # order groups origins but NEE directions split between the
+            # area lights and env samples (random sky directions), so
+            # tiles pay giant traversal unions (r5 profile: 307 ms/pass
+            # of any-hit walks on the textured city).  Key = (origin
+            # grid cell, quantized direction); non-traced lanes to the
+            # end so their tiles exit at the root slab.
+            g = scene.st_grid
+            glo = jnp.asarray(g.lo, jnp.float32)
+            gh = jnp.asarray(g.h, jnp.float32)
+            d1, d2 = g.dims[1], g.dims[2]
+            q = jnp.clip(jnp.floor((shadow_pos - glo[None]) / gh[None]
+                                   ).astype(jnp.int32),
+                         0, jnp.asarray(g.dims, jnp.int32)[None] - 1)
+            cell = q[:, 0] * (d1 * d2) + q[:, 1] * d2 + q[:, 2]
+            du = jnp.clip(shadow_dir[:, 0] * 16 + 16, 0, 31).astype(jnp.int32)
+            dv = jnp.clip(shadow_dir[:, 1] * 16 + 16, 0, 31).astype(jnp.int32)
+            key = cell * 1024 + (du * 32 + dv)
+            key = jnp.where(need_trace, key, jnp.int32(0x7FFFFFFF))
+            perm = jnp.argsort(key)
+            # one packed row gather instead of 3 separate 1-D gathers
+            pk = jnp.concatenate([shadow_pos, shadow_dir, s_tmax[:, None]],
+                                 axis=1)[perm]
+            _, stri_s, _, _ = TST.intersect_stream(
+                scene.st_nodes_f, scene.st_nodes_i, scene.st_tris,
+                pk[:, 0:3], pk[:, 3:6],
+                jnp.zeros((N,), jnp.float32), pk[:, 6],
+                any_hit=True, interpret=jax.default_backend() != 'tpu')
+            occluded = jnp.zeros((N,), bool).at[perm].set(stri_s >= 0)
+        else:
+            _, stri, _, _ = TST.intersect_stream(
+                scene.st_nodes_f, scene.st_nodes_i, scene.st_tris,
+                shadow_pos, shadow_dir, jnp.zeros((N,), jnp.float32),
+                s_tmax, any_hit=True,
+                interpret=jax.default_backend() != 'tpu')
+            occluded = stri >= 0
     elif meta.use_pallas:
         from ..accel import traverse_pallas as TPL
         _, stri, _, _ = TPL.intersect_clusters(
@@ -894,7 +1012,8 @@ def trace_pass(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
     # streamed big scenes: sort live rays into coherent tiles before every
     # secondary-bounce trace (see _sort_rays_for_trace); the permutation is
     # inverted at pass end so callers keep positional accumulation
-    sort_rays = (meta.use_stream and qmc_ctx is None and input_state is None
+    sort_rays = ((meta.use_stream or meta.use_stream_tlas)
+                 and qmc_ctx is None and input_state is None
                  and os.environ.get('HYDRA_SORT', '1') != '0')
     orig = jnp.arange(state.flags.shape[0], dtype=jnp.int32)
 
@@ -903,7 +1022,8 @@ def trace_pass(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
         if is_mlt and b_dyn is not None:
             ctx = dict(qmc_ctx, bounce_dyn=b_dyn)
         if sort_rays and b > 0:
-            state, orig = _sort_rays_for_trace(state, orig)
+            state, orig = _sort_rays_for_trace(state, orig,
+                                               grid=scene.st_grid)
         state = kernel_ray_trace(scene, meta, state, bounce=b)
         # one shared shading context per bounce: material rows, slot-0
         # texture, bump normal reused by NEE + bounce + emissive branch
@@ -958,7 +1078,7 @@ def trace_pass(scene: Scene, meta: SceneMeta, rng_state, pixel_ids,
         # restore positional order (callers accumulate framebuffer tiles
         # positionally): inverse permutation of the composed sorts
         inv = jnp.argsort(orig)
-        state = jax.tree_util.tree_map(lambda a: a[inv], state)
+        state, _ = _permute_state(state, orig, inv)
 
     state = kernel_hit_environment(scene, meta, state, integrator_type,
                                    out_pixels)

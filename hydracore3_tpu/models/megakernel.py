@@ -463,13 +463,14 @@ class MegaPack:
     n_tris: int
     tex_const: bool
     env_mapped: bool = False  # env lat-long map tapped on ray miss
+    mtypes: tuple = None      # scene mat_types_present (KSPEC-style DCE)
 
 
 jax.tree_util.register_dataclass(
     MegaPack,
     data_fields=['wx', 'wy', 'wz', 'shade_t', 'mat_lane', 'light_lane',
                  'tex_lane', 'consts', 'quad_rows'],
-    meta_fields=['n_tris', 'tex_const', 'env_mapped'])
+    meta_fields=['n_tris', 'tex_const', 'env_mapped', 'mtypes'])
 
 
 def supported(scene: Scene, meta: SceneMeta) -> bool:
@@ -654,7 +655,7 @@ def pack(scene: Scene, meta: SceneMeta) -> MegaPack:
         mat_lane=jnp.asarray(ml), light_lane=jnp.asarray(ll),
         tex_lane=jnp.asarray(tl), consts=jnp.asarray(consts),
         quad_rows=quad_rows, n_tris=int(Tpad), tex_const=tex_const,
-        env_mapped=env_mapped)
+        env_mapped=env_mapped, mtypes=tuple(meta.mat_types_present))
 
 
 # ===========================================================================
@@ -1011,55 +1012,70 @@ def hydra_fresnel_cond(f0_4, v_dot_h, ior):
     return jnp.where(ior == 0.0, f0_4, fr)
 
 
-def mat_eval(md, tex_color, l, v, n):
+def _present(mtypes, t):
+    """KSPEC-style static feature test: mtypes is the scene's
+    mat_types_present tuple (None = assume everything; the reference's
+    kernel_slicer dead-code-eliminates absent material branches the same
+    way, integrator_pt.h:601-622)."""
+    return mtypes is None or t in mtypes
+
+
+def mat_eval(md, tex_color, l, v, n, mtypes=None):
     """MaterialEval for {GLTF, DIFFUSE} (integrator_pt_mat.cpp:308-528).
 
-    Returns (val [4,S,L], pdf [S,L])."""
+    Returns (val [4,S,L], pdf [S,L]); ``mtypes`` statically removes
+    absent-material branches from the kernel."""
     base4 = md['c0'] * tex_color
     mtype = md['mtype']
-
-    # ---- gltfEval (cmat_gltf.h:94-147) -----------------------------------
-    _, metal_col, coat_col, roughness, metalness, coat, ior = _gltf_params(md, base4)
-    rough = roughness != 0.0
-    ggx_val = jnp.where(rough, ggx_eval_bsdf(l, v, n, roughness), 0.0)
-    ggx_pdf = jnp.where(rough, ggx_eval_pdf(l, v, n, roughness), 0.0)
-    v_dot_h = jnp.where(rough, dot3(v, normalize3(v + l)), dot3(v, n))
-    lam_val = jnp.full(ggx_val.shape, INV_PI, jnp.float32)
+    lam_val = jnp.full(mtype.shape, INV_PI, jnp.float32)
     lam_pdf = jnp.abs(dot3(l, n)) * INV_PI
-    plastic = (coat > 0.0) & (metalness < 1.0) & (ior > 0.0)
-    f_i_c = fr_dielectric_pbrt(jnp.abs(dot3(v, n)), 1.0, ior)
-    f_o = fr_dielectric_pbrt(jnp.abs(dot3(l, n)), 1.0, ior)
-    fdr = md['data'][GLTF_FLOAT_MI_FDR_INT]
-    coeff = lerp(jnp.ones_like(coat), (1.0 - f_i_c) * (1.0 - f_o)
-                 / jnp.maximum(ior * ior * (1.0 - fdr), 1e-12), coat)
-    lam_val_g = jnp.where(plastic, lam_val * coeff, lam_val)
-    f_i = jnp.where(plastic, f_i_c, jnp.ones_like(f_i_c))
-    f_cond = hydra_fresnel_cond(metal_col, v_dot_h, ior)
-    spec_col = ggx_val * f_cond
-    prob_spec = 0.5 * coat
-    prob_diff = 1.0 - prob_spec
-    diel_val = lam_val_g * base4 + (ggx_val * f_i * coat) * coat_col
-    diel_pdf = lam_pdf * prob_diff + ggx_pdf * prob_spec
-    g_val = metalness * spec_col + (1.0 - metalness) * diel_val
-    g_pdf = metalness * ggx_pdf + (1.0 - metalness) * diel_pdf
 
-    # ---- diffuseEval (cmat_diffuse.h:27-39) ------------------------------
-    on = (md['cflags'].astype(jnp.int32) & 16) != 0  # ORENNAYAR
-    on_mult = orennayar_func(l, v, n, md['data'][0])
-    d_scal = jnp.where(on, lam_val * on_mult, lam_val)
-    d_val = d_scal * base4
-    d_pdf = lam_pdf
+    val = jnp.zeros_like(base4)
+    pdf = jnp.zeros_like(lam_pdf)
 
-    # ---- conductorRoughEval (cmat_conductor.h:105-137) -------------------
-    c_val, c_pdf = conductor_eval(md, tex_color, l, v, n)
+    if _present(mtypes, MAT_TYPE_GLTF):
+        # ---- gltfEval (cmat_gltf.h:94-147) -------------------------------
+        _, metal_col, coat_col, roughness, metalness, coat, ior = \
+            _gltf_params(md, base4)
+        rough = roughness != 0.0
+        ggx_val = jnp.where(rough, ggx_eval_bsdf(l, v, n, roughness), 0.0)
+        ggx_pdf = jnp.where(rough, ggx_eval_pdf(l, v, n, roughness), 0.0)
+        v_dot_h = jnp.where(rough, dot3(v, normalize3(v + l)), dot3(v, n))
+        plastic = (coat > 0.0) & (metalness < 1.0) & (ior > 0.0)
+        f_i_c = fr_dielectric_pbrt(jnp.abs(dot3(v, n)), 1.0, ior)
+        f_o = fr_dielectric_pbrt(jnp.abs(dot3(l, n)), 1.0, ior)
+        fdr = md['data'][GLTF_FLOAT_MI_FDR_INT]
+        coeff = lerp(jnp.ones_like(coat), (1.0 - f_i_c) * (1.0 - f_o)
+                     / jnp.maximum(ior * ior * (1.0 - fdr), 1e-12), coat)
+        lam_val_g = jnp.where(plastic, lam_val * coeff, lam_val)
+        f_i = jnp.where(plastic, f_i_c, jnp.ones_like(f_i_c))
+        f_cond = hydra_fresnel_cond(metal_col, v_dot_h, ior)
+        spec_col = ggx_val * f_cond
+        prob_spec = 0.5 * coat
+        prob_diff = 1.0 - prob_spec
+        diel_val = lam_val_g * base4 + (ggx_val * f_i * coat) * coat_col
+        diel_pdf = lam_pdf * prob_diff + ggx_pdf * prob_spec
+        g_val = metalness * spec_col + (1.0 - metalness) * diel_val
+        g_pdf = metalness * ggx_pdf + (1.0 - metalness) * diel_pdf
+        is_gltf = mtype == float(MAT_TYPE_GLTF)
+        val = jnp.where(is_gltf, g_val, val)
+        pdf = jnp.where(is_gltf, g_pdf, pdf)
 
-    is_gltf = mtype == float(MAT_TYPE_GLTF)
-    is_diff = mtype == float(MAT_TYPE_DIFFUSE)
-    is_cond = mtype == float(MAT_TYPE_CONDUCTOR)
-    val = jnp.where(is_gltf, g_val, jnp.where(is_diff, d_val,
-                    jnp.where(is_cond, c_val, 0.0)))
-    pdf = jnp.where(is_gltf, g_pdf, jnp.where(is_diff, d_pdf,
-                    jnp.where(is_cond, c_pdf, 0.0)))
+    if _present(mtypes, MAT_TYPE_DIFFUSE):
+        # ---- diffuseEval (cmat_diffuse.h:27-39) --------------------------
+        on = (md['cflags'].astype(jnp.int32) & 16) != 0  # ORENNAYAR
+        on_mult = orennayar_func(l, v, n, md['data'][0])
+        d_scal = jnp.where(on, lam_val * on_mult, lam_val)
+        is_diff = mtype == float(MAT_TYPE_DIFFUSE)
+        val = jnp.where(is_diff, d_scal * base4, val)
+        pdf = jnp.where(is_diff, lam_pdf, pdf)
+
+    if _present(mtypes, MAT_TYPE_CONDUCTOR):
+        # ---- conductorRoughEval (cmat_conductor.h:105-137) ---------------
+        c_val, c_pdf = conductor_eval(md, tex_color, l, v, n)
+        is_cond = mtype == float(MAT_TYPE_CONDUCTOR)
+        val = jnp.where(is_cond, c_val, val)
+        pdf = jnp.where(is_cond, c_pdf, pdf)
     return val, pdf
 
 
@@ -1164,98 +1180,120 @@ def glass_sample(md, rands, v, n, ray_flags, mis_ior):
                 ior=new_ior)
 
 
-def mat_sample(md, tex_color, rands, v, n, ray_flags=None, mis_ior=None):
+def mat_sample(md, tex_color, rands, v, n, ray_flags=None, mis_ior=None,
+               mtypes=None):
     """MaterialSampleAndEval for {GLTF, DIFFUSE, CONDUCTOR, DIELECTRIC,
     GLASS} (cmat_gltf.h:6-91, cmat_diffuse.h:8-24, cmat_dielectric.h,
-    cmat_glass.h).  rands: [4,S,L].
+    cmat_glass.h).  rands: [4,S,L].  ``mtypes`` (the scene's static
+    mat_types_present) removes absent material branches from the kernel —
+    the r4 regression was these branches running unconditionally.
 
     Returns dict(val [4], dir [3], pdf, flags u32, ior)."""
     base4 = md['c0'] * tex_color
     mtype = md['mtype']
-    cflags, metal_col, coat_col, roughness, metalness, coat, ior = \
-        _gltf_params(md, base4)
-
-    smooth = roughness == 0.0
-    perf_refl = reflect3(-v, n)
-    cos_out = dot3(perf_refl, n)
-    mirror_val = jnp.where(cos_out <= 1e-6, 0.0, 1.0 / jnp.maximum(cos_out, 1e-6))
-    ggx_dir_r = ggx_sample(rands[0], rands[1], v, n, roughness)
-    ggx_dir = jnp.where(smooth, perf_refl, ggx_dir_r)
-    ggx_pdf = jnp.where(smooth, 1.0, ggx_eval_pdf(ggx_dir_r, v, n, roughness))
-    ggx_val = jnp.where(smooth, mirror_val, ggx_eval_bsdf(ggx_dir_r, v, n, roughness))
 
     lam_dir = map_sample_to_cosine_distribution(rands[0], rands[1], n, n)
     lam_pdf = jnp.abs(dot3(lam_dir, n)) * INV_PI
     lam_val = jnp.full(lam_pdf.shape, INV_PI, jnp.float32)
 
-    pick_metal = rands[2] < metalness
-    v_dot_h = dot3(v, normalize3(v + ggx_dir))
-    metal_bsdf = ggx_val * metalness * hydra_fresnel_cond(metal_col, v_dot_h, ior)
-    spec_flags = jnp.where(smooth, jnp.uint32(C.RAY_EVENT_S),
-                           jnp.uint32(C.RAY_FLAG_HAS_NON_SPEC))
-
-    f_i = fr_dielectric_pbrt(jnp.abs(dot3(v, n)), 1.0, ior)
-    prob_spec = 0.5 * coat
-    prob_diff = 1.0 - prob_spec
-    pick_spec = rands[3] < prob_spec
-    coat_bsdf = (ggx_val * (1.0 - metalness) * f_i * coat) * coat_col
-    lam_bsdf = (lam_val * (1.0 - metalness)) * base4
-    fdr = md['data'][GLTF_FLOAT_MI_FDR_INT]
-    f_o = fr_dielectric_pbrt(jnp.abs(dot3(lam_dir, n)), 1.0, ior)
-    coeff = lerp(jnp.ones_like(coat), (1.0 - f_i) * (1.0 - f_o)
-                 / jnp.maximum(ior * ior * (1.0 - fdr), 1e-12), coat)
-    apply_coat = (coat > 0.0) & (ior > 0.0)
-    lam_bsdf = jnp.where(apply_coat, lam_bsdf * coeff, lam_bsdf)
-
-    g_dir = jnp.where(pick_metal | pick_spec, ggx_dir, lam_dir)
-    g_val = jnp.where(pick_metal, metal_bsdf,
-                      jnp.where(pick_spec, coat_bsdf, lam_bsdf))
-    g_pdf = jnp.where(pick_metal, ggx_pdf, jnp.where(pick_spec, ggx_pdf, lam_pdf))
-    g_flags = jnp.where(pick_metal | pick_spec, spec_flags,
-                        jnp.uint32(C.RAY_FLAG_HAS_NON_SPEC))
-    pdf_sel = jnp.where(pick_metal, metalness,
-                        (1.0 - metalness) * jnp.where(pick_spec, prob_spec, prob_diff))
-    g_pdf = g_pdf * pdf_sel
-
-    # diffuseSampleAndEval (NB the reference's OrenNayar quirk: -v)
-    on = (md['cflags'].astype(jnp.int32) & 16) != 0
-    on_mult = orennayar_func(lam_dir, -v, n, md['data'][0])
-    d_scal = jnp.where(on, lam_val * on_mult, lam_val)
-    d_val = d_scal * base4
-    d_flags = jnp.full(lam_pdf.shape, C.RAY_FLAG_HAS_NON_SPEC, jnp.uint32)
-
-    # conductor (cmat_conductor.h:7-103)
-    cs = conductor_sample(md, tex_color, rands[0], rands[1], v, n)
-
-    is_gltf = mtype == float(MAT_TYPE_GLTF)
-    is_diff = mtype == float(MAT_TYPE_DIFFUSE)
-    is_cond = mtype == float(MAT_TYPE_CONDUCTOR)
     up = jnp.stack([jnp.zeros_like(lam_pdf), jnp.ones_like(lam_pdf),
                     jnp.zeros_like(lam_pdf)])
-    out_dir = jnp.where(is_gltf, g_dir, jnp.where(is_diff, lam_dir,
-                        jnp.where(is_cond, cs['dir'], up)))
-    out_val = jnp.where(is_gltf, g_val, jnp.where(is_diff, d_val,
-                        jnp.where(is_cond, cs['val'], 0.0)))
-    out_pdf = jnp.where(is_gltf, g_pdf, jnp.where(is_diff, lam_pdf,
-                        jnp.where(is_cond, cs['pdf'], 1.0)))
-    out_flags = jnp.where(is_gltf, g_flags, jnp.where(is_diff, d_flags,
-                          jnp.where(is_cond, cs['flags'], jnp.uint32(0))))
+    out_dir = up
+    out_val = jnp.zeros_like(base4)
+    out_pdf = jnp.ones_like(lam_pdf)
+    out_flags = jnp.full(lam_pdf.shape, 0, jnp.uint32)
+
+    if _present(mtypes, MAT_TYPE_GLTF):
+        cflags, metal_col, coat_col, roughness, metalness, coat, ior = \
+            _gltf_params(md, base4)
+        smooth = roughness == 0.0
+        perf_refl = reflect3(-v, n)
+        cos_out = dot3(perf_refl, n)
+        mirror_val = jnp.where(cos_out <= 1e-6, 0.0,
+                               1.0 / jnp.maximum(cos_out, 1e-6))
+        ggx_dir_r = ggx_sample(rands[0], rands[1], v, n, roughness)
+        ggx_dir = jnp.where(smooth, perf_refl, ggx_dir_r)
+        ggx_pdf = jnp.where(smooth, 1.0,
+                            ggx_eval_pdf(ggx_dir_r, v, n, roughness))
+        ggx_val = jnp.where(smooth, mirror_val,
+                            ggx_eval_bsdf(ggx_dir_r, v, n, roughness))
+
+        pick_metal = rands[2] < metalness
+        v_dot_h = dot3(v, normalize3(v + ggx_dir))
+        metal_bsdf = ggx_val * metalness * hydra_fresnel_cond(
+            metal_col, v_dot_h, ior)
+        spec_flags = jnp.where(smooth, jnp.uint32(C.RAY_EVENT_S),
+                               jnp.uint32(C.RAY_FLAG_HAS_NON_SPEC))
+
+        f_i = fr_dielectric_pbrt(jnp.abs(dot3(v, n)), 1.0, ior)
+        prob_spec = 0.5 * coat
+        prob_diff = 1.0 - prob_spec
+        pick_spec = rands[3] < prob_spec
+        coat_bsdf = (ggx_val * (1.0 - metalness) * f_i * coat) * coat_col
+        lam_bsdf = (lam_val * (1.0 - metalness)) * base4
+        fdr = md['data'][GLTF_FLOAT_MI_FDR_INT]
+        f_o = fr_dielectric_pbrt(jnp.abs(dot3(lam_dir, n)), 1.0, ior)
+        coeff = lerp(jnp.ones_like(coat), (1.0 - f_i) * (1.0 - f_o)
+                     / jnp.maximum(ior * ior * (1.0 - fdr), 1e-12), coat)
+        apply_coat = (coat > 0.0) & (ior > 0.0)
+        lam_bsdf = jnp.where(apply_coat, lam_bsdf * coeff, lam_bsdf)
+
+        g_dir = jnp.where(pick_metal | pick_spec, ggx_dir, lam_dir)
+        g_val = jnp.where(pick_metal, metal_bsdf,
+                          jnp.where(pick_spec, coat_bsdf, lam_bsdf))
+        g_pdf = jnp.where(pick_metal, ggx_pdf,
+                          jnp.where(pick_spec, ggx_pdf, lam_pdf))
+        g_flags = jnp.where(pick_metal | pick_spec, spec_flags,
+                            jnp.uint32(C.RAY_FLAG_HAS_NON_SPEC))
+        pdf_sel = jnp.where(pick_metal, metalness,
+                            (1.0 - metalness)
+                            * jnp.where(pick_spec, prob_spec, prob_diff))
+        is_gltf = mtype == float(MAT_TYPE_GLTF)
+        out_dir = jnp.where(is_gltf, g_dir, out_dir)
+        out_val = jnp.where(is_gltf, g_val, out_val)
+        out_pdf = jnp.where(is_gltf, g_pdf * pdf_sel, out_pdf)
+        out_flags = jnp.where(is_gltf, g_flags, out_flags)
+
+    if _present(mtypes, MAT_TYPE_DIFFUSE):
+        # diffuseSampleAndEval (NB the reference's OrenNayar quirk: -v)
+        on = (md['cflags'].astype(jnp.int32) & 16) != 0
+        on_mult = orennayar_func(lam_dir, -v, n, md['data'][0])
+        d_scal = jnp.where(on, lam_val * on_mult, lam_val)
+        d_val = d_scal * base4
+        d_flags = jnp.full(lam_pdf.shape, C.RAY_FLAG_HAS_NON_SPEC, jnp.uint32)
+        is_diff = mtype == float(MAT_TYPE_DIFFUSE)
+        out_dir = jnp.where(is_diff, lam_dir, out_dir)
+        out_val = jnp.where(is_diff, d_val, out_val)
+        out_pdf = jnp.where(is_diff, lam_pdf, out_pdf)
+        out_flags = jnp.where(is_diff, d_flags, out_flags)
+
+    if _present(mtypes, MAT_TYPE_CONDUCTOR):
+        # conductor (cmat_conductor.h:7-103)
+        cs = conductor_sample(md, tex_color, rands[0], rands[1], v, n)
+        is_cond = mtype == float(MAT_TYPE_CONDUCTOR)
+        out_dir = jnp.where(is_cond, cs['dir'], out_dir)
+        out_val = jnp.where(is_cond, cs['val'], out_val)
+        out_pdf = jnp.where(is_cond, cs['pdf'], out_pdf)
+        out_flags = jnp.where(is_cond, cs['flags'], out_flags)
+
     out_ior = mis_ior if mis_ior is not None else jnp.ones_like(lam_pdf)
     if ray_flags is not None and mis_ior is not None:
-        ds = dielectric_sample(md, rands, v, n, ray_flags, mis_ior)
-        gs = glass_sample(md, rands, v, n, ray_flags, mis_ior)
-        is_diel = mtype == float(MAT_TYPE_DIELECTRIC)
-        is_glass = mtype == float(MAT_TYPE_GLASS)
-        out_dir = jnp.where(is_diel, ds['dir'],
-                            jnp.where(is_glass, gs['dir'], out_dir))
-        out_val = jnp.where(is_diel, ds['val'],
-                            jnp.where(is_glass, gs['val'], out_val))
-        out_pdf = jnp.where(is_diel, ds['pdf'],
-                            jnp.where(is_glass, gs['pdf'], out_pdf))
-        out_flags = jnp.where(is_diel, ds['flags'],
-                              jnp.where(is_glass, gs['flags'], out_flags))
-        out_ior = jnp.where(is_diel, ds['ior'],
-                            jnp.where(is_glass, gs['ior'], out_ior))
+        if _present(mtypes, MAT_TYPE_DIELECTRIC):
+            ds = dielectric_sample(md, rands, v, n, ray_flags, mis_ior)
+            is_diel = mtype == float(MAT_TYPE_DIELECTRIC)
+            out_dir = jnp.where(is_diel, ds['dir'], out_dir)
+            out_val = jnp.where(is_diel, ds['val'], out_val)
+            out_pdf = jnp.where(is_diel, ds['pdf'], out_pdf)
+            out_flags = jnp.where(is_diel, ds['flags'], out_flags)
+            out_ior = jnp.where(is_diel, ds['ior'], out_ior)
+        if _present(mtypes, MAT_TYPE_GLASS):
+            gs = glass_sample(md, rands, v, n, ray_flags, mis_ior)
+            is_glass = mtype == float(MAT_TYPE_GLASS)
+            out_dir = jnp.where(is_glass, gs['dir'], out_dir)
+            out_val = jnp.where(is_glass, gs['val'], out_val)
+            out_pdf = jnp.where(is_glass, gs['pdf'], out_pdf)
+            out_flags = jnp.where(is_glass, gs['flags'], out_flags)
+            out_ior = jnp.where(is_glass, gs['ior'], out_ior)
     return dict(val=out_val, dir=out_dir, pdf=out_pdf, flags=out_flags,
                 ior=out_ior)
 
@@ -1508,7 +1546,7 @@ def light_intensity(ld):
 
 def stage_nee(pk_wx, pk_wy, pk_wz, shade_t, n_tris, light_lane, consts,
               md, tex_color, st, bounce, integrator_type: int,
-              active=None):
+              active=None, mtypes=None):
     """kernel_SampleLightSource (integrator_pt.cpp:350-424).
 
     active: optional shade mask replacing the liveness test (regeneration
@@ -1540,7 +1578,7 @@ def stage_nee(pk_wx, pk_wy, pk_wz, shade_t, n_tris, light_lane, consts,
     need_shade = need_trace & ~occluded
 
     bsdf_val, bsdf_pdf = mat_eval(md, tex_color, shadow_dir, -st['d'],
-                                  st['hit_norm'])
+                                  st['hit_norm'], mtypes=mtypes)
     cos_out = jnp.maximum(dot3(shadow_dir, st['hit_norm']), 0.0)
     lgt_pdf_w = (1.0 / jnp.maximum(num_lights, 1.0)) * light_eval_pdf(
         ld, shadow_pos, shadow_dir, lpos, lnorm)
@@ -1560,7 +1598,7 @@ def stage_nee(pk_wx, pk_wy, pk_wz, shade_t, n_tris, light_lane, consts,
 
 def stage_next_bounce(md, tex_color, st, shade_color, bounce,
                       integrator_type: int, light_lane, consts,
-                      active=None, prim=None):
+                      active=None, prim=None, mtypes=None):
     """kernel_NextBounce (integrator_pt.cpp:426-548).
 
     bounce: static int, or None in regeneration mode where `prim` (bool
@@ -1603,7 +1641,8 @@ def stage_next_bounce(md, tex_color, st, shade_color, bounce,
     surf_live = live & ~is_light_mat
     rngx, rngy, rands = rnd_float4(st['rngx'], st['rngy'], surf_live)
     samp = mat_sample(md, tex_color, rands, -st['d'], st['hit_norm'],
-                      ray_flags=st['flags'], mis_ior=st['mis_ior'])
+                      ray_flags=st['flags'], mis_ior=st['mis_ior'],
+                      mtypes=mtypes)
 
     bxdf = samp['val'] / jnp.maximum(samp['pdf'], 1e-20)
     cos_theta = jnp.abs(dot3(samp['dir'], st['hit_norm']))
@@ -1691,13 +1730,14 @@ def sample_pass_ref(pk: MegaPack, xs, ys, rngx, rngy, depth: int,
         if integrator_type != INTEGRATOR_STUPID_PT:
             shade, rngx2, rngy2 = stage_nee(
                 pk.wx, pk.wy, pk.wz, pk.shade_t, pk.n_tris, pk.light_lane,
-                pk.consts, md, tex, st, b, integrator_type)
+                pk.consts, md, tex, st, b, integrator_type,
+                mtypes=pk.mtypes)
             st['rngx'] = rngx2
             st['rngy'] = rngy2
         else:
             shade = jnp.zeros_like(st['accum'])
         st = stage_next_bounce(md, tex, st, shade, b, integrator_type,
-                               pk.light_lane, pk.consts)
+                               pk.light_lane, pk.consts, mtypes=pk.mtypes)
     env4 = None
     if pk.env_mapped:
         qe, we = stage_env_tap_prep(pk.consts, pk.tex_lane, st['d'])
@@ -1779,7 +1819,7 @@ def _merge_state(cond, a, b):
 @functools.lru_cache(maxsize=64)
 def _build_kernels(depth: int, integrator_type: int, textured: bool,
                    n_blocks: int, n_tris: int, n_quad_rows: int,
-                   interpret: bool, env_tap: bool = False):
+                   interpret: bool, env_tap: bool = False, mtypes=None):
     """Compile-time assembly of the per-bounce kernel chain.
 
     Chain: K0 = init+trace(0); K_b = shade(b-1)+trace(b); K_last =
@@ -1849,13 +1889,15 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
                 if integrator_type != INTEGRATOR_STUPID_PT:
                     shade, rngx2, rngy2 = stage_nee(
                         wx, wy, wz, shade_t, n_tris, light_lane, consts,
-                        md, tex, st, shade_bounce, integrator_type)
+                        md, tex, st, shade_bounce, integrator_type,
+                        mtypes=mtypes)
                     st['rngx'] = rngx2
                     st['rngy'] = rngy2
                 else:
                     shade = jnp.zeros_like(st['accum'])
                 st = stage_next_bounce(md, tex, st, shade, shade_bounce,
-                                       integrator_type, light_lane, consts)
+                                       integrator_type, light_lane, consts,
+                                       mtypes=mtypes)
 
             if last:
                 env4 = None
@@ -1961,13 +2003,14 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
                 if integrator_type != INTEGRATOR_STUPID_PT:
                     shade, rngx2, rngy2 = stage_nee(
                         wx, wy, wz, shade_t, n_tris, light_lane, consts,
-                        md, tex, st, b, integrator_type)
+                        md, tex, st, b, integrator_type, mtypes=mtypes)
                     st['rngx'] = rngx2
                     st['rngy'] = rngy2
                 else:
                     shade = jnp.zeros_like(st['accum'])
                 st = stage_next_bounce(md, tex, st, shade, b,
-                                       integrator_type, light_lane, consts)
+                                       integrator_type, light_lane, consts,
+                                       mtypes=mtypes)
             contrib = stage_env_contribute(consts, st, integrator_type)
             ocontrib[0] = contrib
             osu[0] = jnp.stack([st['rngx'], st['rngy'], st['flags']])
@@ -1991,7 +2034,8 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
 
 def _build_regen_kernels(depth: int, integrator_type: int, textured: bool,
                          n_blocks: int, n_tris: int, n_quad_rows: int,
-                         interpret: bool, env_tap: bool = False):
+                         interpret: bool, env_tap: bool = False,
+                         mtypes=None):
     """Regeneration-mode kernels (persistent samples, VERDICT item: deep-
     bounce occupancy).  Two kernels:
 
@@ -2121,13 +2165,15 @@ def _build_regen_kernels(depth: int, integrator_type: int, textured: bool,
             if integrator_type != INTEGRATOR_STUPID_PT:
                 shade, rngx2, rngy2 = stage_nee(
                     wx, wy, wz, shade_t, n_tris, light_lane, consts,
-                    md, tex, st, None, integrator_type, active=act)
+                    md, tex, st, None, integrator_type, active=act,
+                    mtypes=mtypes)
                 st['rngx'] = rngx2
                 st['rngy'] = rngy2
             else:
                 shade = jnp.zeros_like(st['accum'])
             st = stage_next_bounce(md, tex, st, shade, None, integrator_type,
-                                   light_lane, consts, active=act, prim=prim)
+                                   light_lane, consts, active=act, prim=prim,
+                                   mtypes=mtypes)
             bcnt = bcnt + act.astype(jnp.uint32)
             # depth truncation: the fixed chain discards the sampled bounce
             # ray after shade n_bounce-1; kill those paths here
@@ -2214,7 +2260,7 @@ def sample_pass_pallas(pk: MegaPack, xy, sf_unused, su, depth: int,
     nq = 1 if pk.quad_rows is None else int(pk.quad_rows.shape[0])
     ks, call = _build_kernels(depth, integrator_type, not pk.tex_const,
                               NB, pk.n_tris, nq, interpret,
-                              env_tap=pk.env_mapped)
+                              env_tap=pk.env_mapped, mtypes=pk.mtypes)
     base = [pk.consts, pk.wx, pk.wy, pk.wz, pk.shade_t, pk.mat_lane]
     n_bounce = depth + (1 if integrator_type == INTEGRATOR_STUPID_PT else 0)
     textured = not pk.tex_const
@@ -2265,7 +2311,7 @@ def _regen_start(pk, xy, su, depth, integrator_type, k_iters, interpret):
     tap = not pk.tex_const or pk.env_mapped
     ks, call = _build_regen_kernels(depth, integrator_type, not pk.tex_const,
                                     n_rays // RBLK, pk.n_tris, nq, interpret,
-                                    env_tap=pk.env_mapped)
+                                    env_tap=pk.env_mapped, mtypes=pk.mtypes)
     base = [pk.consts, pk.wx, pk.wy, pk.wz, pk.shade_t, pk.mat_lane]
     pk_first = base + ([pk.tex_lane] if tap else [])
     r = call(ks['rfirst'], pk_first, [xy, su], n_rays)
@@ -2285,7 +2331,7 @@ def _regen_cont(pk, xy, sf, su, rows, depth, integrator_type, k_iters,
     nq = 1 if pk.quad_rows is None else int(pk.quad_rows.shape[0])
     ks, call = _build_regen_kernels(depth, integrator_type, not pk.tex_const,
                                     n_rays // RBLK, pk.n_tris, nq, interpret,
-                                    env_tap=pk.env_mapped)
+                                    env_tap=pk.env_mapped, mtypes=pk.mtypes)
     return _regen_iters(pk, ks, call, xy, sf, su, rows, k_iters, n_rays)
 
 

@@ -571,6 +571,10 @@ class SceneMeta:
     # HBM-streaming Pallas traversal (accel/traverse_stream.py): no VMEM
     # triangle cap — the sponza-class (262k+ tris) scene path
     use_stream: bool = False
+    # streamed two-level (accel/traverse_tlas.py): per-mesh cluster BVHs +
+    # in-kernel TLAS over instance transforms — the instanced big-scene
+    # path (O(mesh) memory where the flattened soup is O(inst x mesh))
+    use_stream_tlas: bool = False
     cam_lens_radius: float = 0.0
     cam_target_dist: float = 10.0
     exposure_mult: float = 1.0
@@ -731,11 +735,37 @@ class Scene:
     # nearest-hit rays march it in-kernel (measured 2.4-2.5x over the BVH
     # walk for camera/bounce classes); any-hit keeps the BVH walk
     st_grid: object = None
+    # streamed TWO-LEVEL arrays (traverse_tlas.pack_stream_tlas): per-mesh
+    # cluster BVHs kept ONCE in HBM + an in-kernel TLAS walk over instance
+    # transforms — O(mesh) memory for instanced big scenes (CrossRT
+    # BLAS/TLAS contract, CrossRT.h:45-176)
+    tt_tlas_f: jnp.ndarray = None
+    tt_tlas_i: jnp.ndarray = None
+    tt_nodes_f: jnp.ndarray = None
+    tt_nodes_i: jnp.ndarray = None
+    tt_inst_f: jnp.ndarray = None
+    tt_inst_i: jnp.ndarray = None
+    tt_inst_nm: jnp.ndarray = None   # [I,16] normal matrices (shading)
+    tt_tris: jnp.ndarray = None      # [C,8,WPAD] HBM Woop clusters
+    tt_shade: jnp.ndarray = None     # [C*TBK,32] OBJECT-space shade rows
+    tt_geom: jnp.ndarray = None      # [C*TBK] mesh id per padded slot
+    tt_prim: jnp.ndarray = None      # [C*TBK] original mesh-local prim
 
     # static: True when every packed int fits f32's 24-bit mantissa, so int
     # rows may ride the one-hot MXU gather exactly (ops/gather.py)
     ints_exact: bool = dataclasses.field(
         default=True, metadata=dict(static=True))
+
+
+def _pad128_1d(a):
+    """Pad a 1-D f32 table to a 128 multiple so per-ray reads can use the
+    wide-line row-gather path (ops/gather.gather_1d) instead of XLA's
+    ~7 ns/elem kCustom scalar gather (r5 xplane: the env-CDF bisection's
+    24 reads/ray were ~60 x 0.9 ms per 131k-ray pass)."""
+    a = np.asarray(a, np.float32)
+    if a.size % 128:
+        a = np.concatenate([a, np.zeros(128 - a.size % 128, np.float32)])
+    return a
 
 
 def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False,
@@ -1236,6 +1266,52 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         tl_np = TL2.build_two_level(mesh_tris, inst_descs)
         two_level_obj = jax.tree_util.tree_map(jnp.asarray, tl_np)
 
+    # streamed two-level: instanced BIG scenes ride the in-kernel TLAS walk
+    # (accel/traverse_tlas.py) instead of the XLA two-level oracle —
+    # per-mesh clusters live ONCE in HBM (VulkanRTX/Embree TLAS semantics)
+    use_stream_tlas = (accel == 'stream_tlas'
+                       or (accel == 'auto' and use_two_level
+                           and not has_motion and soup_T > 200_000))
+    tt_arrays = None
+    if use_stream_tlas:
+        from ..accel import traverse_tlas as TT
+        mesh_tris2 = []
+        mesh_shade = []
+        mesh_mats = []
+        for mesh in meshes:
+            idx = mesh.indices.reshape(-1, 3).astype(np.int64)
+            p_ = mesh.v_pos[:, :3]
+            mv0 = p_[idx[:, 0]]
+            mesh_tris2.append((mv0, p_[idx[:, 1]] - mv0, p_[idx[:, 2]] - mv0))
+            nt = len(idx)
+            sh = np.zeros((nt, 24), np.float32)
+            for c in range(3):
+                vi = idx[:, c]
+                sh[:, c * 8 + 0:c * 8 + 3] = mesh.v_norm[vi, :3]
+                sh[:, c * 8 + 3] = mesh.v_texc[vi, 0]
+                sh[:, c * 8 + 4:c * 8 + 7] = mesh.v_tang[vi, :3]
+                sh[:, c * 8 + 7] = mesh.v_texc[vi, 1]
+            mesh_shade.append(sh)
+            mesh_mats.append(mesh.mat_indices.astype(np.int32))
+        inst_descs2 = [dict(geom_id=i.geom_id, m0=i.matrix)
+                       for i in instances]
+        ttpk = TT.pack_stream_tlas(mesh_tris2, inst_descs2)
+        # per-padded-slot OBJECT-space shade rows + UNREMAPPED mat ids
+        # (the per-instance remap runs at trace time via RemapMaterialId)
+        op = ttpk['order_padded']
+        tmsh = ttpk['tri_mesh']
+        S_ = len(op)
+        tt_sh = np.zeros((S_, 24), np.float32)
+        tt_mat = np.zeros(S_, np.int32)
+        for g in range(len(meshes)):
+            selm = tmsh == g
+            if selm.any():
+                tt_sh[selm] = mesh_shade[g][op[selm]]
+                tt_mat[selm] = mesh_mats[g][op[selm]]
+        tt_arrays = dict(ttpk, shade=_pad_shade(tt_sh, tt_mat),
+                         geom=np.maximum(tmsh, 0).astype(np.int32),
+                         prim=np.maximum(op, 0).astype(np.int32))
+
     from ..accel import build_bvh
     soup_v0 = np.concatenate(tri_v0) if tri_v0 else np.zeros((0, 3), np.float32)
     soup_e1 = np.concatenate(tri_e1) if tri_e1 else np.zeros((0, 3), np.float32)
@@ -1498,7 +1574,8 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         remap_inst=jnp.asarray(np.array(remap_inst, np.int32) if remap_inst else np.full((1, 2), -1, np.int32)),
         all_remap_lists=jnp.asarray(all_remap),
         all_remap_lists_size=jnp.asarray(np.int32(all_remap_size)),
-        arrays1f=jnp.asarray(np.concatenate(arrays1f) if arrays1f else np.zeros(1, np.float32)),
+        arrays1f=jnp.asarray(_pad128_1d(np.concatenate(arrays1f) if arrays1f
+                                        else np.zeros(1, np.float32))),
         films_thickness=jnp.asarray(film_arrays[0]),
         films_eta_k=jnp.asarray(film_arrays[1]),
         films_spec_id=jnp.asarray(film_arrays[2]),
@@ -1535,6 +1612,17 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         st_nodes_i=None if st_arrays is None else jnp.asarray(st_arrays[1]),
         st_tris=None if st_arrays is None else jnp.asarray(st_arrays[2]),
         st_grid=None if st_arrays is None else st_arrays[3],
+        tt_tlas_f=None if tt_arrays is None else jnp.asarray(tt_arrays['tlas_f']),
+        tt_tlas_i=None if tt_arrays is None else jnp.asarray(tt_arrays['tlas_i']),
+        tt_nodes_f=None if tt_arrays is None else jnp.asarray(tt_arrays['nodes_f']),
+        tt_nodes_i=None if tt_arrays is None else jnp.asarray(tt_arrays['nodes_i']),
+        tt_inst_f=None if tt_arrays is None else jnp.asarray(tt_arrays['inst_f']),
+        tt_inst_i=None if tt_arrays is None else jnp.asarray(tt_arrays['inst_i']),
+        tt_inst_nm=None if tt_arrays is None else jnp.asarray(tt_arrays['inst_nm']),
+        tt_tris=None if tt_arrays is None else jnp.asarray(tt_arrays['tris_hbm']),
+        tt_shade=None if tt_arrays is None else jnp.asarray(tt_arrays['shade']),
+        tt_geom=None if tt_arrays is None else jnp.asarray(tt_arrays['geom']),
+        tt_prim=None if tt_arrays is None else jnp.asarray(tt_arrays['prim']),
         ints_exact=bool(np.abs(np.asarray(mat_pi, np.int64)).max(initial=0) < 2**24
                         and np.abs(np.asarray(lgt_pi, np.int64)).max(initial=0) < 2**24),
     )
@@ -1549,6 +1637,7 @@ def load_scene(scene_path: str, scene_dir: str = '', spectral_mode: bool = False
         use_two_level=use_two_level,
         use_pallas=use_pallas,
         use_stream=use_stream,
+        use_stream_tlas=use_stream_tlas,
         cam_response_type=cam_response_type,
         has_cam_response_spectra=any(i >= 0 for i in cam_response_ids),
         has_blend=MAT_TYPE_BLEND in mat_types_present,

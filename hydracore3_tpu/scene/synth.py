@@ -217,6 +217,73 @@ def build_city(n_blocks: int = 48, subdiv: int = 3, seed: int = 7,
     return hr
 
 
+def build_instanced_city(n_blocks: int = 32, subdiv: int = 3, seed: int = 7,
+                         width: int = 1024, height: int = 1024,
+                         depth: int = 5, ground_subdiv: int = 32):
+    """Instanced city variant: ONE building mesh + ground, n_blocks^2
+    rotated/scaled instances — exercises the streamed TLAS path
+    (accel/traverse_tlas.py) where geometry memory is O(mesh) while the
+    flattened soup would be O(instances x mesh) (VulkanRTX/Embree TLAS,
+    CrossRT.h:45-176)."""
+    from .. import api
+    rng = np.random.default_rng(seed)
+    hr = api.hr2_create_scene()
+    m_ground = hr.material_create(name='ground',
+                                  diffuse_color=(0.30, 0.30, 0.32))
+    m_wall = hr.material_create(name='wall', diffuse_color=(0.62, 0.55, 0.48))
+
+    pitch = 8.0
+    half = n_blocks * pitch * 0.5 + 20.0
+    gp, gi = _ground(half, ground_subdiv)
+    gm = hr.mesh_from_data(gp, gi.reshape(-1),
+                           mat_indices=np.full(len(gi), m_ground, np.uint32))
+    hr.instance_add(gm)
+    bp, bi = _box(0.0, 0.0, 1.0, 1.0, 1.0, subdiv)   # unit building
+    bm = hr.mesh_from_data(bp, bi.reshape(-1),
+                           mat_indices=np.full(len(bi), m_wall, np.uint32))
+    for by in range(n_blocks):
+        for bx in range(n_blocks):
+            cx = (bx - n_blocks / 2 + 0.5) * pitch + rng.uniform(-0.8, 0.8)
+            cz = (by - n_blocks / 2 + 0.5) * pitch + rng.uniform(-0.8, 0.8)
+            sx = rng.uniform(2.0, 3.2)
+            sz = rng.uniform(2.0, 3.2)
+            sy = rng.uniform(4.0, 28.0)
+            a = rng.uniform(0, np.pi / 2)
+            c, s = np.cos(a), np.sin(a)
+            m = np.array([[c * sx, 0, s * sz, cx],
+                          [0, sy, 0, 0],
+                          [-s * sx, 0, c * sz, cz],
+                          [0, 0, 0, 1]], np.float32)
+            hr.instance_add(bm, m)
+
+    lm = np.eye(4, dtype=np.float32)
+    lm[1, 3] = 60.0
+    hr.light_area(color=(1.0, 1.0, 1.0), multiplier=16.0,
+                  half_width=40.0, half_length=40.0, matrix=lm)
+    hr.camera_set(fov=60.0, pos=(0.0, 14.0, half * 0.92),
+                  look_at=(0.0, 4.0, 0.0), up=(0.0, 1.0, 0.0),
+                  near=0.1, far=1000.0)
+    hr.settings_set(width=width, height=height, depth=depth, spp=64)
+    return hr
+
+
+def instanced_city_scene(n_blocks: int = 32, subdiv: int = 3, seed: int = 7,
+                         width: int = 1024, height: int = 1024,
+                         depth: int = 5, ground_subdiv: int = 32,
+                         accel: str = 'stream_tlas', cache_dir: str = None):
+    key = ('inst', n_blocks, subdiv, seed, width, height, depth,
+           ground_subdiv, accel)
+    if key in _CACHE:
+        return _CACHE[key]
+    hr = build_instanced_city(n_blocks, subdiv, seed, width, height, depth,
+                              ground_subdiv)
+    out_dir = cache_dir or os.path.join(
+        '/tmp', f'hydra_icity_{n_blocks}_{subdiv}_{seed}_{ground_subdiv}')
+    scene, meta = hr.commit(out_dir, accel=accel)
+    _CACHE[key] = (scene, meta)
+    return scene, meta
+
+
 def city_scene(n_blocks: int = 48, subdiv: int = 3, seed: int = 7,
                width: int = 1024, height: int = 1024, depth: int = 5,
                ground_subdiv: int = 64, accel: str = 'auto',

@@ -82,6 +82,35 @@ def test_optimization_reduces_loss(dr_setup):
     assert np.isfinite(np.asarray(params)).all()
 
 
+def test_drmain_configuration_50_iters():
+    """The reference's ACTUAL optimization configuration (diff_render/
+    drmain.cpp:174-262, adam.h Adam step): texture slot 1 as a 256x256x4
+    trainable parameter block, trace depth 6, init 1.0, 50 Adam
+    iterations — only the render resolution is reduced (drmain renders
+    512x512; CI uses 64x48) to keep CPU wall time sane.  Asserts the loss
+    decreases overall and ends below a fixed bound (VERDICT r4 item 8a)."""
+    from hydracore3_tpu.scene import build as SB
+    from hydracore3_tpu.models import dr as DR
+    from hydracore3_tpu import render as R
+    scene, meta = SB.load_scene(
+        '/root/reference/scenes/test_035/statex_00001.xml',
+        width=64, height=48)
+    meta = meta._replace(trace_depth=6)       # SetMaxThreadsAndBounces(32, 6)
+    setup = DR.put_diff_tex(scene, 1)         # PutDiffTex2D(1, 256,256,4)
+    assert setup.size == 256 * 256
+    ref_img = np.asarray(R.render(scene, meta, spp=16, integrator='mispt'))
+    params, losses = DR.optimize_texture(scene, meta, setup, ref_img,
+                                         iters=50, spp=1, lr=0.15,
+                                         init_value=1.0, verbose=False)
+    assert np.isfinite(np.asarray(params)).all()
+    assert np.isfinite(losses).all()
+    # init=1.0 (white texture) vs the true wooden cube: the optimization
+    # must recover most of the error.  At 64x48x1spp only ~2% of the 65k
+    # texels are seen per pass, so demand a robust but not tight bound.
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+    assert min(losses) == min(losses[-10:]), 'loss diverged late'
+
+
 def test_regularizers_match_definitions():
     import numpy as np
     import jax.numpy as jnp
