@@ -62,6 +62,20 @@ class AreaLightDesc:
 
 
 @dataclasses.dataclass
+class SimpleLightDesc:
+    """Non-area light (hydra_api.h light objects beyond the area rect):
+    kind 'point' (omni), 'spot' (point + cone falloff) or 'sphere'."""
+    kind: str = 'point'
+    name: str = 'light'
+    color: tuple = (1.0, 1.0, 1.0)
+    multiplier: float = 1.0
+    radius: float = 1.0            # sphere only
+    falloff_angle: float = 60.0    # spot outer cone (deg)
+    falloff_angle2: float = 30.0   # spot inner cone (deg)
+    matrix: np.ndarray = None      # placement
+
+
+@dataclasses.dataclass
 class TextureDesc:
     """In-memory texture (hrTexture2DCreateFromMemory analog).
 
@@ -102,7 +116,10 @@ class HRSceneInst:
         self.lights: list[AreaLightDesc] = []
         self.textures: list[TextureDesc] = []
         self.env: EnvLightDesc = None
-        self.instances: list[tuple[int, np.ndarray]] = []  # (mesh_id, matrix)
+        self.simple_lights: list[SimpleLightDesc] = []
+        self.remap_lists: list[list[int]] = []
+        # (mesh_id, matrix, rmap_id)
+        self.instances: list[tuple[int, np.ndarray, int]] = []
         self.camera = CameraDesc()
         self.width = 256
         self.height = 256
@@ -153,10 +170,35 @@ class HRSceneInst:
         for importance sampling (light type="sky", clight.h env path)."""
         self.env = EnvLightDesc(**kw)
 
-    def instance_add(self, mesh_id: int, matrix=None) -> int:
+    def light_point(self, **kw) -> int:
+        self.simple_lights.append(SimpleLightDesc(kind='point', **kw))
+        return self._simple_light_id()
+
+    def light_spot(self, **kw) -> int:
+        self.simple_lights.append(SimpleLightDesc(kind='spot', **kw))
+        return self._simple_light_id()
+
+    def light_sphere(self, **kw) -> int:
+        self.simple_lights.append(SimpleLightDesc(kind='sphere', **kw))
+        return self._simple_light_id()
+
+    def _simple_light_id(self) -> int:
+        # simple lights are numbered after the area lights in lights_lib
+        return len(self.lights) + len(self.simple_lights) - 1
+
+    def remap_list_create(self, pairs) -> int:
+        """Material remap list [(from, to), ...] usable as instance_add's
+        rmap_id (RemapMaterialId, integrator_pt_mat.cpp:530-573)."""
+        flat = []
+        for a, b in pairs:
+            flat += [int(a), int(b)]
+        self.remap_lists.append(flat)
+        return len(self.remap_lists) - 1
+
+    def instance_add(self, mesh_id: int, matrix=None, rmap_id: int = -1) -> int:
         m = np.eye(4, dtype=np.float32) if matrix is None \
             else np.asarray(matrix, np.float32)
-        self.instances.append((mesh_id, m))
+        self.instances.append((mesh_id, m, rmap_id))
         return len(self.instances) - 1
 
     def camera_set(self, **kw):
@@ -294,13 +336,41 @@ class HRSceneInst:
                 f'    <intensity><color val="{c}" />'
                 f'<multiplier val="{L.multiplier}" /></intensity>\n'
                 '  </light>')
+        for j, SL in enumerate(self.simple_lights):
+            lid = len(self.lights) + j
+            c = ' '.join(str(v) for v in SL.color)
+            if SL.kind == 'sphere':
+                parts.append(
+                    f'  <light id="{lid}" name="{escape(SL.name)}" '
+                    'type="area" shape="sphere" distribution="uniform" '
+                    'visible="0">\n'
+                    f'    <size radius="{SL.radius}" />\n'
+                    f'    <intensity><color val="{c}" />'
+                    f'<multiplier val="{SL.multiplier}" /></intensity>\n'
+                    '  </light>')
+            else:
+                dist = 'spot' if SL.kind == 'spot' else 'uniform'
+                extra = ''
+                if SL.kind == 'spot':
+                    extra = (f'    <falloff_angle val="{SL.falloff_angle}" '
+                             '/>\n'
+                             '    <falloff_angle2 '
+                             f'val="{SL.falloff_angle2}" />\n')
+                parts.append(
+                    f'  <light id="{lid}" name="{escape(SL.name)}" '
+                    f'type="point" shape="point" distribution="{dist}" '
+                    'visible="0">\n' + extra +
+                    f'    <intensity><color val="{c}" />'
+                    f'<multiplier val="{SL.multiplier}" /></intensity>\n'
+                    '  </light>')
         if self.env is not None:
             E = self.env
             c = ' '.join(str(v) for v in E.color)
             tex = (_tex_node(E.tex_id, E.tex_matrix)
                    if E.tex_id >= 0 else '')
             parts.append(
-                f'  <light id="{len(self.lights)}" name="env" type="sky" '
+                f'  <light id="{len(self.lights) + len(self.simple_lights)}"'
+                ' name="env" type="sky" '
                 'shape="point" distribution="uniform" visible="1">\n'
                 f'    <intensity><color val="{c}">{tex}</color>'
                 f'<multiplier val="{E.multiplier}" /></intensity>\n'
@@ -331,11 +401,17 @@ class HRSceneInst:
             '</render_lib>')
 
         parts.append('<scenes>\n  <scene id="0" name="api scene">')
+        if self.remap_lists:
+            parts.append('    <remap_lists>')
+            for rl in self.remap_lists:
+                parts.append('      <remap_list val="'
+                             + ' '.join(str(v) for v in rl) + '" />')
+            parts.append('    </remap_lists>')
         iid = 0
-        for mesh_id, mat in self.instances:
+        for mesh_id, mat, rmap_id in self.instances:
             mstr = ' '.join(f'{v:g}' for v in np.asarray(mat).reshape(-1))
             parts.append(f'    <instance id="{iid}" mesh_id="{mesh_id}" '
-                         f'rmap_id="-1" matrix="{mstr}" />')
+                         f'rmap_id="{rmap_id}" matrix="{mstr}" />')
             iid += 1
         for i, L in enumerate(self.lights):
             m = (np.eye(4, dtype=np.float32) if L.matrix is None
@@ -343,8 +419,15 @@ class HRSceneInst:
             mstr = ' '.join(f'{v:g}' for v in m.reshape(-1))
             parts.append(f'    <instance_light id="{i}" light_id="{i}" '
                          f'matrix="{mstr}" lgroup_id="-1" />')
+        for j, SL in enumerate(self.simple_lights):
+            lid = len(self.lights) + j
+            m = (np.eye(4, dtype=np.float32) if SL.matrix is None
+                 else np.asarray(SL.matrix, np.float32))
+            mstr = ' '.join(f'{v:g}' for v in m.reshape(-1))
+            parts.append(f'    <instance_light id="{lid}" light_id="{lid}" '
+                         f'matrix="{mstr}" lgroup_id="-1" />')
         if self.env is not None:
-            eid = len(self.lights)
+            eid = len(self.lights) + len(self.simple_lights)
             eye = ' '.join(f'{v:g}'
                            for v in np.eye(4, dtype=np.float32).reshape(-1))
             parts.append(f'    <instance_light id="{eid}" light_id="{eid}" '
