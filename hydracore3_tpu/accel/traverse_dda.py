@@ -898,10 +898,21 @@ def _march_impl(cell_tab, cell_cl, cl_aabb, outliers, tris_hbm,
     return t, tri, u, v, un
 
 
+# Two-phase straggler compaction: DEFAULT OFF.  Measured on realistic
+# 1M-ray city bounce populations (scripts/bench_march_phase.py): p1=16/32/64
+# all LOSE 40-50% vs single-phase (b1 7.8 -> 5.3 Mrays/s, b2 9.3 -> 6.0) —
+# at production ray density the straggler tail no longer dominates and the
+# extra argsort + gathers + re-marched prefix swamp the tile-drag win.
+# Kept (env HYDRA_MARCH_P1=N or phase1_max arg) as the P3 wavefront-
+# compaction experiment; see docs/PERF_NOTES.md r5.
+PHASE1_MAX = int(os.environ.get('HYDRA_MARCH_P1', '0'))
+
+
 def intersect_march(grid: GridPack, tris_hbm, ray_pos, ray_dir, t_min,
                     t_max, any_hit: bool = False, interpret: bool = False,
                     march_max: int = None,
-                    with_unresolved: bool = False, with_stats: bool = False):
+                    with_unresolved: bool = False, with_stats: bool = False,
+                    phase1_max: int = None):
     """v2 DDA: the whole grid march runs inside one kernel per ray tile.
 
     Same output contract as intersect_stream / intersect_dda; with
@@ -909,17 +920,55 @@ def intersect_march(grid: GridPack, tris_hbm, ray_pos, ray_dir, t_min,
     when MARCH_MAX was exhausted (hit/miss NOT final — re-trace those; the
     integrator falls back to the BVH walk).  Relies on the caller's
     Morton/octant ray sorting for tile cell-coherence (the integrator
-    sorts streamed scenes per bounce)."""
-    out = _march_impl(grid.cell_tab, grid.cell_cl, grid.cl_aabb,
-                      grid.outliers, tris_hbm,
-                      ray_pos, ray_dir, t_min, t_max,
-                      grid.lo, grid.h, grid.dims, any_hit,
-                      grid.n_outliers, interpret,
-                      MARCH_MAX if march_max is None else march_max,
-                      with_stats)
-    if with_stats:
-        return out
-    t, tri, u, v, un = out
+    sorts streamed scenes per bounce).
+
+    Two-phase straggler compaction (PERF_NOTES r5): per-tile stats showed
+    the median tile finishes in ~13 rounds while TAIL tiles run to
+    MARCH_MAX=192 — one grazing lane drags its whole [SUB,128] tile
+    through full-width flush work for 10x the median round count.  So:
+    phase 1 marches every lane with a low round cap (PHASE1_MAX); lanes
+    still live are stable-sorted to the FRONT (preserving the caller's
+    cell-coherent order among them) and re-marched from scratch with the
+    full cap, while already-resolved lanes ride along with an empty
+    [1, 0) interval so their tiles start done and exit after the outlier
+    prologue.  Straggler work then concentrates in ceil(U/1024) dense
+    tiles instead of being smeared across every tile that owns one."""
+    mm = MARCH_MAX if march_max is None else march_max
+    p1 = PHASE1_MAX if phase1_max is None else phase1_max
+    N = ray_pos.shape[0]
+    two_phase = (not with_stats) and 0 < p1 < mm and N >= 4 * TILE
+
+    def run(pos, dr, t0, t1, cap):
+        return _march_impl(grid.cell_tab, grid.cell_cl, grid.cl_aabb,
+                           grid.outliers, tris_hbm, pos, dr, t0, t1,
+                           grid.lo, grid.h, grid.dims, any_hit,
+                           grid.n_outliers, interpret, cap, with_stats)
+
+    if not two_phase:
+        out = run(ray_pos, ray_dir, t_min, t_max, mm)
+        if with_stats:
+            return out
+        t, tri, u, v, un = out
+        if with_unresolved:
+            return t, tri, u, v, un
+        return t, tri, u, v
+
+    t, tri, u, v, un = run(ray_pos, ray_dir, t_min, t_max, p1)
+    # stable sort, stragglers first: among the stragglers the caller's
+    # coherent order is preserved, so phase-2 tiles stay cell-dense
+    perm = jnp.argsort(-un)
+    sel = un[perm] > 0
+    t2, tri2, u2, v2, un2 = run(
+        ray_pos[perm], ray_dir[perm],
+        jnp.where(sel, t_min[perm], 1.0),
+        jnp.where(sel, t_max[perm], 0.0), mm)
+    inv = jnp.argsort(perm)
+    unb = un > 0
+    t = jnp.where(unb, t2[inv], t)
+    tri = jnp.where(unb, tri2[inv], tri)
+    u = jnp.where(unb, u2[inv], u)
+    v = jnp.where(unb, v2[inv], v)
+    un = jnp.where(unb, un2[inv], 0)
     if with_unresolved:
         return t, tri, u, v, un
     return t, tri, u, v

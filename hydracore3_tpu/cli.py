@@ -49,6 +49,12 @@ def build_parser():
     p.add_argument('-checkpoint_every', type=int, default=8)
     p.add_argument('--resume', action='store_true',
                    help='resume an interrupted render from -checkpoint')
+    p.add_argument('--debug-nojit', action='store_true', dest='debug_nojit',
+                   help='run the whole render with jax.disable_jit(): every '
+                        'op executes eagerly op-by-op (python-level stacks, '
+                        'printable intermediates) — the sanitizer/debug-'
+                        'build analog of the reference\'s CPU single-thread '
+                        'path (SURVEY.md §5; pair with --cpu)')
     p.add_argument('-profile', default='',
                    help='write a jax.profiler trace of the render to this '
                         'directory (the GetExecutionTime analog at op level)')
@@ -127,6 +133,14 @@ def main(argv=None):
     if args.cpu:
         import jax
         jax.config.update('jax_platforms', 'cpu')
+    if args.debug_nojit:
+        import jax
+        # interpreter mode: trace nothing, run ops eagerly so assertion
+        # failures / NaN origins carry python stack traces (the race-
+        # sanitizer analog — functional purity means the only "races" to
+        # find are ordering bugs, which eager mode surfaces).  Entered for
+        # the process lifetime; process exit cleans up.
+        jax.disable_jit().__enter__()
 
     from .scene import build as SB
     from . import render as R

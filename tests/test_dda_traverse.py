@@ -299,3 +299,37 @@ def test_march_outlier_clusters():
     np.testing.assert_allclose(np.asarray(t)[hit_s],
                                np.asarray(ref.t)[hit_r],
                                rtol=2e-4, atol=1e-5)
+
+
+def test_march_two_phase_compaction():
+    """Two-phase straggler compaction (PERF_NOTES r5): with a tiny phase-1
+    cap most lanes go unresolved, get stable-sorted to the front and
+    re-marched from scratch — the merged result must still match the brute
+    oracle exactly, and nothing may leak from the empty-interval lanes."""
+    rng = np.random.default_rng(77)
+    v0, e1, e2 = random_scene(rng, 2500, spread=6.0)
+    grid, tris_hbm, order_padded, (v0o, e1o, e2o) = build_all(v0, e1, e2)
+    n = 5 * 1024          # >= 4*TILE so the two-phase path engages
+    pos = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    pos, d = jnp.asarray(pos), jnp.asarray(d)
+    tmin = jnp.zeros((n,))
+    tmax = jnp.full((n,), 1e30)
+    t, tri, u, v, un = TD.intersect_march(
+        grid, tris_hbm, pos, d, tmin, tmax, interpret=True,
+        phase1_max=2, with_unresolved=True)
+    assert int(np.asarray(un).sum()) == 0, \
+        'full-cap phase 2 must resolve every straggler on this scene'
+    T = len(v0)
+    ref = TRV.intersect_brute(
+        jnp.asarray(v0o), jnp.asarray(e1o), jnp.asarray(e2o),
+        jnp.zeros(T, jnp.int32), jnp.zeros(T, jnp.int32),
+        jnp.arange(T, dtype=jnp.int32),
+        pos, d, tmin, tmax)
+    hit_s = np.asarray(tri) >= 0
+    hit_r = np.asarray(ref.t) < 1e29
+    np.testing.assert_array_equal(hit_s, hit_r)
+    np.testing.assert_allclose(np.asarray(t)[hit_s],
+                               np.asarray(ref.t)[hit_r],
+                               rtol=2e-4, atol=1e-5)
