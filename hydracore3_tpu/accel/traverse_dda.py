@@ -65,12 +65,15 @@ jax.tree_util.register_dataclass(
 
 
 def pack_grid(nodes_f: np.ndarray, nodes_i: np.ndarray,
-              target_clusters_per_cell: float = 8.0,
+              target_clusters_per_cell: float = None,
               max_dim: int = 64, robust_aabb: bool = True) -> GridPack:
     """Bin the stream-BVH's leaf clusters into a uniform grid.
 
     nodes_f/nodes_i are pack_stream_bvh outputs; leaf rows carry the
     cluster AABB and slot."""
+    if target_clusters_per_cell is None:
+        target_clusters_per_cell = float(
+            os.environ.get('HYDRA_GRID_TCPC', '8'))
     leaf = nodes_i[:, 1] >= 0
     lo3 = nodes_f[leaf, 0:3]
     hi3 = nodes_f[leaf, 3:6]

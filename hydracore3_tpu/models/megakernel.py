@@ -410,7 +410,9 @@ MF_TEXID = 22
 MF_TEXC = 23         # folded slot-0 tex constant    (4 rows)
 MF_ROW0 = 27         # slot-0 uv transform row0      (4 rows)
 MF_ROW1 = 31         # slot-0 uv transform row1      (4 rows)
-MF_NROWS = 35
+MF_SPD0 = 35         # slot-0 SPD id (-1 = none)   [spectral scenes]
+MF_SPD1 = 36         # slot-1 SPD id (-1 = none)
+MF_NROWS = 37
 
 # light lane-table rows
 LF_POS = 0           # 3
@@ -422,7 +424,8 @@ LF_PDFA = 21
 LF_MULT = 22
 LF_GEOM = 23
 LF_DIST = 24
-LF_NROWS = 25
+LF_SPD = 25          # emission SPD id (-1 = none)  [spectral scenes]
+LF_NROWS = 26
 
 # tex descriptor lane-table rows
 TF_OFF = 0
@@ -464,13 +467,23 @@ class MegaPack:
     tex_const: bool
     env_mapped: bool = False  # env lat-long map tapped on ray miss
     mtypes: tuple = None      # scene mat_types_present (KSPEC-style DCE)
+    # spectral (KSPEC_SPECTRAL_RENDERING analog): hero-wavelength path with
+    # in-kernel SPD + CIE fetches via chunked lane gathers
+    spd_lane: jnp.ndarray = None  # [NS, 4, 128] f32: spectrum s, 1nm entry
+    #                               128*c + l = value at lambda 360+idx;
+    #                               rows NS-3..NS-1 are CIE x,y,z
+    spectral: bool = False
+    spd_sets: tuple = None    # static candidate SPD ids per fetch site:
+    #                           (diff_sids, eta_sids, k_sids, light_sids,
+    #                            env_sid, env_mult)
 
 
 jax.tree_util.register_dataclass(
     MegaPack,
     data_fields=['wx', 'wy', 'wz', 'shade_t', 'mat_lane', 'light_lane',
-                 'tex_lane', 'consts', 'quad_rows'],
-    meta_fields=['n_tris', 'tex_const', 'env_mapped', 'mtypes'])
+                 'tex_lane', 'consts', 'quad_rows', 'spd_lane'],
+    meta_fields=['n_tris', 'tex_const', 'env_mapped', 'mtypes',
+                 'spectral', 'spd_sets'])
 
 
 def supported(scene: Scene, meta: SceneMeta) -> bool:
@@ -480,8 +493,22 @@ def supported(scene: Scene, meta: SceneMeta) -> bool:
     blur, blend trees, bump maps, 4-texture params, IES/spot/projective
     lights, importance-sampled env and lens cameras fall back to the XLA
     path (kernel-by-kernel parity, just not the Pallas pipeline)."""
-    if meta.spectral_mode or meta.has_motion or meta.has_blend or meta.has_bump:
+    if meta.has_motion or meta.has_blend or meta.has_bump:
         return False
+    if meta.spectral_mode:
+        # hero-wavelength spectral path: SPD + CIE fetches ride chunked
+        # lane gathers (<=29 spectra + 3 CIE rows = 32-row table).
+        # Per-wavelength IOR (dielectric/glass dispersion) and spectral
+        # textures stay on the XLA path.
+        if meta.has_spd_tex or meta.has_cam_response_spectra:
+            return False
+        if meta.has_env_map:
+            return False
+        if (MAT_TYPE_DIELECTRIC in meta.mat_types_present
+                or MAT_TYPE_GLASS in meta.mat_types_present):
+            return False
+        if int(scene.spec_offset_sz.shape[0]) > 29:
+            return False
     if meta.has_four_textures or meta.has_ies or meta.has_spot or meta.has_proj:
         return False
     if meta.env_enable_sam or meta.has_cam_back:
@@ -605,6 +632,51 @@ def pack(scene: Scene, meta: SceneMeta) -> MegaPack:
     ll[LF_GEOM, :nl] = np.asarray(scene.light_geom_type)[:nl]
     ll[LF_DIST, :nl] = np.asarray(scene.light_dist_type)[:nl]
 
+    # spectral tables (KSPEC_SPECTRAL_RENDERING): per-spectrum 1nm values
+    # in 4 chunks of 128 lanes + CIE x/y/z rows; candidate SPD-id sets per
+    # fetch site are STATIC so each in-kernel fetch loops only over the
+    # spectra that can actually appear there
+    spd_lane = None
+    spd_sets = None
+    spectral = bool(meta.spectral_mode)
+    if spectral:
+        from ..ops import spectrum as SPEC_OPS
+        sv = np.asarray(scene.spec_values, np.float32)
+        osz = np.asarray(scene.spec_offset_sz)
+        ns = osz.shape[0]
+        tab = np.zeros((ns + 3, 4, 128), np.float32)
+        for s in range(ns):
+            # replicate sample_uniform_spectrum's flat indexing exactly,
+            # including XLA's clamp-to-end gather semantics
+            idx = np.minimum(osz[s, 0] + np.arange(512), len(sv) - 1)
+            tab[s] = sv[idx].reshape(4, 128)
+        cie = SPEC_OPS.cie_xyz_table()            # [471, 4] x,y,z,0
+        for c in range(3):
+            row = np.zeros(512, np.float32)
+            row[:471] = cie[:, c]
+            tab[ns + c] = row.reshape(4, 128)
+        spd_lane = jnp.asarray(tab)
+
+        spdid = np.asarray(scene.mat_spdid)[:M]
+        mt = np.asarray(scene.mat_packed_i32)[:M, 0]
+        ml[MF_SPD0, :M] = spdid[:, 0]
+        ml[MF_SPD1, :M] = spdid[:, 1]
+        lspd = np.asarray(scene.light_spec_id)[:nl]
+        ll[LF_SPD, :nl] = lspd
+
+        def sids(mask, col):
+            u = np.unique(spdid[mask, col])
+            return tuple(int(x) for x in u if x >= 0)
+
+        spd_sets = (
+            sids(mt == MAT_TYPE_DIFFUSE, 0),              # diffuse refl
+            sids(mt == MAT_TYPE_CONDUCTOR, 0),            # conductor eta
+            sids(mt == MAT_TYPE_CONDUCTOR, 1),            # conductor k
+            tuple(int(x) for x in np.unique(lspd) if x >= 0),  # lights
+            int(np.asarray(scene.env_spec_id)),           # env (scalar)
+            float(np.asarray(scene.env_spec_mult)),
+        )
+
     # texture descriptor lane tables
     tl = np.zeros((TF_NROWS, 128), np.float32)
     ntex = min(int(scene.textures.offset.shape[0]), 128)
@@ -655,7 +727,8 @@ def pack(scene: Scene, meta: SceneMeta) -> MegaPack:
         mat_lane=jnp.asarray(ml), light_lane=jnp.asarray(ll),
         tex_lane=jnp.asarray(tl), consts=jnp.asarray(consts),
         quad_rows=quad_rows, n_tris=int(Tpad), tex_const=tex_const,
-        env_mapped=env_mapped, mtypes=tuple(meta.mat_types_present))
+        env_mapped=env_mapped, mtypes=tuple(meta.mat_types_present),
+        spd_lane=spd_lane, spectral=spectral, spd_sets=spd_sets)
 
 
 # ===========================================================================
@@ -675,7 +748,9 @@ def fetch_mat(ml, mid):
         texid=g(MF_TEXID),
         texc=jnp.stack([g(MF_TEXC + i) for i in range(4)]),
         row0=[g(MF_ROW0 + i) for i in range(4)],
-        row1=[g(MF_ROW1 + i) for i in range(4)])
+        row1=[g(MF_ROW1 + i) for i in range(4)],
+        spd0=g(MF_SPD0).astype(jnp.int32),
+        spd1=g(MF_SPD1).astype(jnp.int32))
 
 
 def fetch_light(ll, lid):
@@ -687,7 +762,8 @@ def fetch_light(ll, lid):
         mat=[g(LF_MAT + i) for i in range(9)],
         size=[g(LF_SIZE), g(LF_SIZE + 1)],
         pdf_a=g(LF_PDFA), mult=g(LF_MULT),
-        geom=g(LF_GEOM).astype(jnp.int32), dist=g(LF_DIST).astype(jnp.int32))
+        geom=g(LF_GEOM).astype(jnp.int32), dist=g(LF_DIST).astype(jnp.int32),
+        spd=g(LF_SPD).astype(jnp.int32))
 
 
 def mul3x3_rows(m9, p3):
@@ -706,12 +782,18 @@ def _has_non_spec(flags):
     return (flags & jnp.uint32(C.RAY_FLAG_HAS_NON_SPEC)) != 0
 
 
-def stage_init(consts, xs, ys, rngx, rngy, mask=None):
-    """kernel_InitEyeRay2 (integrator_pt.cpp:129-157) minus DoF/spectral.
+def stage_init(consts, xs, ys, rngx, rngy, mask=None, spectral=False):
+    """kernel_InitEyeRay2 (integrator_pt.cpp:129-157) minus DoF.
 
     mask: optional liveness plane — only masked lanes advance their RNG
-    (the regeneration pipeline re-inits individual lanes mid-flight)."""
+    (the regeneration pipeline re-inits individual lanes mid-flight).
+    spectral: draw hero wavelengths (rnd_spec AFTER the pixel draw,
+    matching kernel_init_eye_ray's RNG order)."""
     rngx, rngy, r4 = rnd_float4(rngx, rngy, mask)
+    lam = None
+    if spectral:
+        rngx, rngy, uw = rnd_float1(rngx, rngy, mask)
+        lam = sample_wavelengths_plane(uw)
     width = consts[CN_WIDTH]
     height = consts[CN_HEIGHT]
     fx = xs + r4[0]
@@ -741,7 +823,7 @@ def stage_init(consts, xs, ys, rngx, rngy, mask=None):
     p2 = mul4x3(100.0 * d)
     d = normalize3(p2 - o)
     zeros = jnp.zeros_like(xs)
-    return dict(
+    st = dict(
         o=o, d=d, flags=jnp.zeros(xs.shape, jnp.uint32),
         accum=jnp.zeros((4,) + xs.shape, jnp.float32),
         thr=jnp.ones((4,) + xs.shape, jnp.float32),
@@ -751,6 +833,9 @@ def stage_init(consts, xs, ys, rngx, rngy, mask=None):
         hit_uv=jnp.zeros((2,) + xs.shape, jnp.float32),
         hit_dist=zeros, hit_lgt=zeros - 1.0,
         rngx=rngx, rngy=rngy)
+    if spectral:
+        st['lam'] = lam
+    return st
 
 
 def _trace_blocks(pk_wx, pk_wy, pk_wz, shade_t, n_tris, o, d, tmin, tmax,
@@ -1020,11 +1105,13 @@ def _present(mtypes, t):
     return mtypes is None or t in mtypes
 
 
-def mat_eval(md, tex_color, l, v, n, mtypes=None):
+def mat_eval(md, tex_color, l, v, n, mtypes=None, spec=None, lam=None):
     """MaterialEval for {GLTF, DIFFUSE} (integrator_pt_mat.cpp:308-528).
 
     Returns (val [4,S,L], pdf [S,L]); ``mtypes`` statically removes
-    absent-material branches from the kernel."""
+    absent-material branches from the kernel.  ``spec``/``lam`` switch the
+    diffuse reflectance and conductor eta/k to per-wavelength SPD samples
+    (bsdf/dispatch.py:315-370 spectral branches)."""
     base4 = md['c0'] * tex_color
     mtype = md['mtype']
     lam_val = jnp.full(mtype.shape, INV_PI, jnp.float32)
@@ -1067,12 +1154,27 @@ def mat_eval(md, tex_color, l, v, n, mtypes=None):
         on_mult = orennayar_func(l, v, n, md['data'][0])
         d_scal = jnp.where(on, lam_val * on_mult, lam_val)
         is_diff = mtype == float(MAT_TYPE_DIFFUSE)
-        val = jnp.where(is_diff, d_scal * base4, val)
+        if spec is None:
+            diff_base = base4
+        else:
+            # spectral: SPD reflectance, NO slot-0 texture multiply
+            # (bsdf/dispatch.py:328-331)
+            spd, sets = spec
+            diff_base = spd_or_color(spd, sets[0], md['spd0'], lam, md['c0'])
+        val = jnp.where(is_diff, d_scal * diff_base, val)
         pdf = jnp.where(is_diff, lam_pdf, pdf)
 
     if _present(mtypes, MAT_TYPE_CONDUCTOR):
         # ---- conductorRoughEval (cmat_conductor.h:105-137) ---------------
-        c_val, c_pdf = conductor_eval(md, tex_color, l, v, n)
+        eta_s = kk_s = None
+        if spec is not None:
+            spd, sets = spec
+            eta_s = spd_or_color(spd, sets[1], md['spd0'], lam,
+                                 jnp.stack([md['data'][2]] * 4))
+            kk_s = spd_or_color(spd, sets[2], md['spd1'], lam,
+                                jnp.stack([md['data'][3]] * 4))
+        c_val, c_pdf = conductor_eval(md, tex_color, l, v, n,
+                                      eta=eta_s, kk=kk_s)
         is_cond = mtype == float(MAT_TYPE_CONDUCTOR)
         val = jnp.where(is_cond, c_val, val)
         pdf = jnp.where(is_cond, c_pdf, pdf)
@@ -1181,7 +1283,7 @@ def glass_sample(md, rands, v, n, ray_flags, mis_ior):
 
 
 def mat_sample(md, tex_color, rands, v, n, ray_flags=None, mis_ior=None,
-               mtypes=None):
+               mtypes=None, spec=None, lam=None):
     """MaterialSampleAndEval for {GLTF, DIFFUSE, CONDUCTOR, DIELECTRIC,
     GLASS} (cmat_gltf.h:6-91, cmat_diffuse.h:8-24, cmat_dielectric.h,
     cmat_glass.h).  rands: [4,S,L].  ``mtypes`` (the scene's static
@@ -1259,7 +1361,12 @@ def mat_sample(md, tex_color, rands, v, n, ray_flags=None, mis_ior=None,
         on = (md['cflags'].astype(jnp.int32) & 16) != 0
         on_mult = orennayar_func(lam_dir, -v, n, md['data'][0])
         d_scal = jnp.where(on, lam_val * on_mult, lam_val)
-        d_val = d_scal * base4
+        if spec is None:
+            diff_base = base4
+        else:
+            spd, sets = spec
+            diff_base = spd_or_color(spd, sets[0], md['spd0'], lam, md['c0'])
+        d_val = d_scal * diff_base
         d_flags = jnp.full(lam_pdf.shape, C.RAY_FLAG_HAS_NON_SPEC, jnp.uint32)
         is_diff = mtype == float(MAT_TYPE_DIFFUSE)
         out_dir = jnp.where(is_diff, lam_dir, out_dir)
@@ -1269,7 +1376,15 @@ def mat_sample(md, tex_color, rands, v, n, ray_flags=None, mis_ior=None,
 
     if _present(mtypes, MAT_TYPE_CONDUCTOR):
         # conductor (cmat_conductor.h:7-103)
-        cs = conductor_sample(md, tex_color, rands[0], rands[1], v, n)
+        eta_s = kk_s = None
+        if spec is not None:
+            spd, sets = spec
+            eta_s = spd_or_color(spd, sets[1], md['spd0'], lam,
+                                 jnp.stack([md['data'][2]] * 4))
+            kk_s = spd_or_color(spd, sets[2], md['spd1'], lam,
+                                jnp.stack([md['data'][3]] * 4))
+        cs = conductor_sample(md, tex_color, rands[0], rands[1], v, n,
+                              eta=eta_s, kk=kk_s)
         is_cond = mtype == float(MAT_TYPE_CONDUCTOR)
         out_dir = jnp.where(is_cond, cs['dir'], out_dir)
         out_val = jnp.where(is_cond, cs['val'], out_val)
@@ -1415,11 +1530,17 @@ def _to_local(vv, nx, ny, nz):
     return jnp.stack([dot3(vv, nx), dot3(vv, ny), dot3(vv, nz)])
 
 
-def conductor_sample(md, tex_color, r0, r1, v, n):
-    """conductorSmooth/RoughSampleAndEval (cmat_conductor.h:7-103)."""
+def conductor_sample(md, tex_color, r0, r1, v, n, eta=None, kk=None):
+    """conductorSmooth/RoughSampleAndEval (cmat_conductor.h:7-103).
+
+    eta/kk default to the scalar material constants; spectral scenes pass
+    per-wavelength [4,S,L] planes (broadcasts through the Fresnel math
+    like the XLA path's eta_spec/k_spec [N,4])."""
     refl = md['c0']                         # CONDUCTOR_COLOR slot
-    eta = md['data'][2]
-    kk = md['data'][3]
+    if eta is None:
+        eta = md['data'][2]
+    if kk is None:
+        kk = md['data'][3]
     a0 = jnp.minimum(md['data'][0], tex_color[0])
     a1 = jnp.minimum(md['data'][1], tex_color[1])
     smooth = jnp.maximum(md['data'][1], md['data'][0]) < 1e-3
@@ -1459,11 +1580,13 @@ def conductor_sample(md, tex_color, r0, r1, v, n):
     return dict(val=val, dir=out_dir, pdf=pdf, flags=flags)
 
 
-def conductor_eval(md, tex_color, l, v, n):
+def conductor_eval(md, tex_color, l, v, n, eta=None, kk=None):
     """conductorRoughEval (cmat_conductor.h:105-137); smooth -> zero."""
     refl = md['c0']
-    eta = md['data'][2]
-    kk = md['data'][3]
+    if eta is None:
+        eta = md['data'][2]
+    if kk is None:
+        kk = md['data'][3]
     a0 = jnp.minimum(md['data'][0], tex_color[0])
     a1 = jnp.minimum(md['data'][1], tex_color[1])
     smooth = jnp.maximum(md['data'][1], md['data'][0]) < 1e-3
@@ -1535,9 +1658,105 @@ def light_eval_pdf(ld, illum_point, ray_dir, lpos, lnorm):
     return pdf_a_to_w(ld['pdf_a'], hit_dist, cos_val)
 
 
-def light_intensity(ld):
-    """LightIntensity, no SPD/IES/spot/projective/env texture."""
-    return ld['intensity'] * ld['mult']
+def light_intensity(ld, spec=None, lam=None):
+    """LightIntensity, no IES/spot/projective/env texture; with ``spec``
+    (spectral scenes) the emission rides the light's SPD
+    (integrator_pt_lgt.cpp:109-173 spectral branch)."""
+    color = ld['intensity']
+    if spec is not None:
+        spd, sets = spec
+        color = spd_or_color(spd, sets[3], ld['spd'], lam, color)
+    return color * ld['mult']
+
+
+# ===========================================================================
+# spectral fetches (KSPEC_SPECTRAL_RENDERING analog, ops/spectrum.py twins)
+# ===========================================================================
+# SPD values live in [NS, 4, 128] chunk rows; a per-lane fetch is 4 chunked
+# lane gathers selected by idx>>7, looped over the STATIC candidate-SPD set
+# of the fetch site (the slot's unique SPD ids, computed at pack time) —
+# the spectral analog of the mat_types_present dead-code elimination.
+
+def _lam_chunk_gather(spd_row4, idx):
+    """Per-lane value from one spectrum's [4,128] chunk rows; idx [S,L]
+    int32 in [0,512)."""
+    off = idx & 127
+    c = idx >> 7
+    v = lane_gather(spd_row4[0], off)
+    for ci in range(1, 4):
+        v = jnp.where(c == ci, lane_gather(spd_row4[ci], off), v)
+    return v
+
+
+def spd_sample(spd, cand, sid, lam):
+    """sample_uniform_spectrum (ops/spectrum.py:50-63) on one wavelength
+    plane.  cand: static tuple of SPD ids possible at this site; sid [S,L]
+    i32; lam [S,L] f32.  Lanes whose sid is not in cand return 0."""
+    idx1 = jnp.clip(lam - 360.0, 0.0, 469.0).astype(jnp.int32)
+    idx2 = jnp.minimum(idx1 + 1, 469)
+    x1 = 360.0 + idx1.astype(jnp.float32)
+    out = jnp.zeros_like(lam)
+    for s in cand:
+        y1 = _lam_chunk_gather(spd[s], idx1)
+        y2 = _lam_chunk_gather(spd[s], idx2)
+        out = jnp.where(sid == s, y1 + (lam - x1) * (y2 - y1), out)
+    return out
+
+
+def spd_or_color(spd, cand, sid, lam4, color4):
+    """[4,S,L]: per-wavelength SPD sample where sid >= 0, else the RGBA
+    color rows as-is (the XLA path's where(spectral & has_spd, ...))."""
+    has = sid >= 0
+    return jnp.stack([
+        jnp.where(has, spd_sample(spd, cand, sid, lam4[j]), color4[j])
+        for j in range(4)])
+
+
+def cie_fetch(spd, row, lam):
+    """CIE curve value at round(lam) (spectrum_to_xyz indexing; row is the
+    STATIC table row NS-3+k); out-of-range wavelengths contribute 0."""
+    off = (jnp.floor(lam + 0.5) - 360.0).astype(jnp.int32)
+    valid = (off >= 0) & (off < 471)
+    v = _lam_chunk_gather(spd[row], jnp.clip(off, 0, 470))
+    return jnp.where(valid, v, 0.0)
+
+
+def sample_wavelengths_plane(u):
+    """Stratified hero wavelengths on planes (ops/spectrum.py:38-48)."""
+    a, b = 360.0, 830.0
+    l0 = a + (b - a) * u
+    delta = (b - a) / 4.0
+    waves = [l0]
+    for _ in range(1, 4):
+        nxt = waves[-1] + delta
+        waves.append(jnp.where(nxt > b, a + (nxt - b), nxt))
+    return jnp.stack(waves)
+
+
+def spectral_contrib(spec, st, accum):
+    """spectrum_to_xyz + xyz_to_rgb (ops/spectrum.py:65-94) on planes.
+
+    accum: [4,S,L] per-hero-wavelength radiance; returns RGB+alpha=1
+    [4,S,L] (exposure applied by the caller)."""
+    spd, sets = spec
+    ns = spd.shape[0] - 3
+    lam = st['lam']
+    pdf0 = jnp.float32(1.0 / 470.0)
+    tw = (st['flags'] & jnp.uint32(C.RAY_FLAG_WAVES_DIVERGED)) != 0
+    xyz = []
+    for k in range(3):
+        acc = jnp.zeros_like(accum[0])
+        for j in range(4):
+            pdf = jnp.where(tw, pdf0 / 4.0 if j == 0 else 0.0, pdf0)
+            specp = jnp.where(pdf != 0.0, accum[j] / jnp.where(pdf == 0.0, 1.0, pdf), 0.0)
+            acc = acc + cie_fetch(spd, ns + k, lam[j]) * specp
+        xyz.append(acc * (0.25 / 106.856895))
+    m = ((3.240479, -1.537150, -0.498535),
+         (-0.969256, 1.875991, 0.041556),
+         (0.055648, -0.204043, 1.057311))
+    rgb = [m[r][0] * xyz[0] + m[r][1] * xyz[1] + m[r][2] * xyz[2]
+           for r in range(3)]
+    return jnp.stack(rgb + [jnp.ones_like(rgb[0])])
 
 
 # ===========================================================================
@@ -1546,7 +1765,7 @@ def light_intensity(ld):
 
 def stage_nee(pk_wx, pk_wy, pk_wz, shade_t, n_tris, light_lane, consts,
               md, tex_color, st, bounce, integrator_type: int,
-              active=None, mtypes=None):
+              active=None, mtypes=None, spec=None):
     """kernel_SampleLightSource (integrator_pt.cpp:350-424).
 
     active: optional shade mask replacing the liveness test (regeneration
@@ -1578,7 +1797,8 @@ def stage_nee(pk_wx, pk_wy, pk_wz, shade_t, n_tris, light_lane, consts,
     need_shade = need_trace & ~occluded
 
     bsdf_val, bsdf_pdf = mat_eval(md, tex_color, shadow_dir, -st['d'],
-                                  st['hit_norm'], mtypes=mtypes)
+                                  st['hit_norm'], mtypes=mtypes,
+                                  spec=spec, lam=st.get('lam'))
     cos_out = jnp.maximum(dot3(shadow_dir, st['hit_norm']), 0.0)
     lgt_pdf_w = (1.0 / jnp.maximum(num_lights, 1.0)) * light_eval_pdf(
         ld, shadow_pos, shadow_dir, lpos, lnorm)
@@ -1589,7 +1809,7 @@ def stage_nee(pk_wx, pk_wy, pk_wz, shade_t, n_tris, light_lane, consts,
     is_point = ld['geom'] == LIGHT_GEOM_POINT
     mis = jnp.where(is_point, 1.0, mis)
 
-    light_color = light_intensity(ld)
+    light_color = light_intensity(ld, spec, st.get('lam'))
     shade = (light_color * bsdf_val / jnp.maximum(lgt_pdf_w, 1e-30)
              * (cos_out * mis))
     shade = jnp.where(need_shade, shade, 0.0)
@@ -1598,7 +1818,7 @@ def stage_nee(pk_wx, pk_wy, pk_wz, shade_t, n_tris, light_lane, consts,
 
 def stage_next_bounce(md, tex_color, st, shade_color, bounce,
                       integrator_type: int, light_lane, consts,
-                      active=None, prim=None, mtypes=None):
+                      active=None, prim=None, mtypes=None, spec=None):
     """kernel_NextBounce (integrator_pt.cpp:426-548).
 
     bounce: static int, or None in regeneration mode where `prim` (bool
@@ -1615,7 +1835,7 @@ def stage_next_bounce(md, tex_color, st, shade_color, bounce,
     light_cos = dot3(st['d'], ldh['norm'])
     atten = jnp.where((light_cos < 0.0) | (ldh['geom'] == LIGHT_GEOM_SPHERE),
                       1.0, 0.0)
-    li_from_light = light_intensity(ldh) * atten
+    li_from_light = light_intensity(ldh, spec, st.get('lam')) * atten
     light_int = jnp.where(has_light, li_from_light, emiss)
 
     mis_weight_l = jnp.ones(shp, jnp.float32)
@@ -1642,7 +1862,7 @@ def stage_next_bounce(md, tex_color, st, shade_color, bounce,
     rngx, rngy, rands = rnd_float4(st['rngx'], st['rngy'], surf_live)
     samp = mat_sample(md, tex_color, rands, -st['d'], st['hit_norm'],
                       ray_flags=st['flags'], mis_ior=st['mis_ior'],
-                      mtypes=mtypes)
+                      mtypes=mtypes, spec=spec, lam=st.get('lam'))
 
     bxdf = samp['val'] / jnp.maximum(samp['pdf'], 1e-20)
     cos_theta = jnp.abs(dot3(samp['dir'], st['hit_norm']))
@@ -1678,15 +1898,29 @@ def stage_next_bounce(md, tex_color, st, shade_color, bounce,
     return st
 
 
-def stage_env_contribute(consts, st, integrator_type: int, env_tex4=None):
+def stage_env_contribute(consts, st, integrator_type: int, env_tex4=None,
+                         spec=None):
     """kernel_HitEnvironment (flat env color, or color * lat-long map texel
     when env_tex4 [4,S,L] is supplied by the tap pipeline; env importance
     sampling / cam-back stay on the XLA path) + contribute.
+
+    Spectral scenes (``spec``): miss radiance comes from the env SPD (or
+    the flat color as wavelength lanes), and the per-hero-wavelength accum
+    converts to RGB in-kernel (spectrum_to_xyz + xyz_to_rgb, matching
+    render.py:87-92) — the XLA-side chunk accumulator then sums plain RGB.
 
     Returns contrib [4,S,L]."""
     out = (st['flags'] & jnp.uint32(C.RAY_FLAG_OUT_OF_SCENE)) != 0
     env_color = jnp.stack([jnp.full(st['flags'].shape, consts[CN_ENV_COLOR + i],
                                     jnp.float32) for i in range(4)])
+    if spec is not None:
+        spd, sets = spec
+        env_sid, env_mult = sets[4], sets[5]
+        if env_sid >= 0:
+            sid = jnp.full(st['flags'].shape, env_sid, jnp.int32)
+            env_color = jnp.stack([
+                spd_sample(spd, (env_sid,), sid, st['lam'][j])
+                for j in range(4)]) * jnp.float32(env_mult / 106.856895)
     if env_tex4 is not None:
         env_color = env_color * env_tex4
     if integrator_type == INTEGRATOR_STUPID_PT:
@@ -1694,6 +1928,10 @@ def stage_env_contribute(consts, st, integrator_type: int, env_tex4=None):
     else:
         new_accum = st['accum'] + st['thr'] * env_color
     accum = jnp.where(out, new_accum, st['accum'])
+    if spec is not None:
+        c = spectral_contrib(spec, st, accum)
+        return jnp.concatenate(
+            [c[:3] * consts[CN_EXPOSURE], c[3:4]], axis=0)
     resp = jnp.stack([jnp.full(st['flags'].shape, consts[CN_CAM_RESP + i],
                                jnp.float32) for i in range(4)])
     return accum * resp * consts[CN_EXPOSURE]
@@ -1716,7 +1954,8 @@ def sample_pass_ref(pk: MegaPack, xs, ys, rngx, rngy, depth: int,
     """One full sample per ray, stages chained under plain XLA (the
     correctness oracle for the Pallas pipeline; also exercises the exact
     same stage functions).  Returns (contrib [4,...], rngx, rngy)."""
-    st = stage_init(pk.consts, xs, ys, rngx, rngy)
+    spec = (pk.spd_lane, pk.spd_sets) if pk.spectral else None
+    st = stage_init(pk.consts, xs, ys, rngx, rngy, spectral=pk.spectral)
     n_bounce = depth + (1 if integrator_type == INTEGRATOR_STUPID_PT else 0)
     for b in range(n_bounce):
         st = stage_trace(pk.wx, pk.wy, pk.wz, pk.shade_t, pk.n_tris, st, b)
@@ -1731,19 +1970,21 @@ def sample_pass_ref(pk: MegaPack, xs, ys, rngx, rngy, depth: int,
             shade, rngx2, rngy2 = stage_nee(
                 pk.wx, pk.wy, pk.wz, pk.shade_t, pk.n_tris, pk.light_lane,
                 pk.consts, md, tex, st, b, integrator_type,
-                mtypes=pk.mtypes)
+                mtypes=pk.mtypes, spec=spec)
             st['rngx'] = rngx2
             st['rngy'] = rngy2
         else:
             shade = jnp.zeros_like(st['accum'])
         st = stage_next_bounce(md, tex, st, shade, b, integrator_type,
-                               pk.light_lane, pk.consts, mtypes=pk.mtypes)
+                               pk.light_lane, pk.consts, mtypes=pk.mtypes,
+                               spec=spec)
     env4 = None
     if pk.env_mapped:
         qe, we = stage_env_tap_prep(pk.consts, pk.tex_lane, st['d'])
         qT = _tap_xla_like(pk, qe.reshape(-1, qe.shape[-1]))
         env4 = tex_from_rows(qT.reshape((16,) + st['flags'].shape), we)
-    contrib = stage_env_contribute(pk.consts, st, integrator_type, env4)
+    contrib = stage_env_contribute(pk.consts, st, integrator_type, env4,
+                                   spec=spec)
     return contrib, st['rngx'], st['rngy']
 
 
@@ -1764,6 +2005,11 @@ SF_HITUV = 22     # 2
 SF_HITDIST = 24
 SF_HITLGT = 25
 SF_NROWS = 26
+SF_LAM = 26       # +4 hero-wavelength rows, SPECTRAL scenes only
+
+
+def _sf_nrows(spectral):
+    return SF_NROWS + (4 if spectral else 0)
 # u32 state tensor rows
 SU_RNGX = 0
 SU_RNGY = 1
@@ -1771,8 +2017,8 @@ SU_FLAGS = 2
 SU_NROWS = 3
 
 
-def _unpack_state(sf, su):
-    return dict(
+def _unpack_state(sf, su, spectral=False):
+    st = dict(
         o=sf[SF_O:SF_O + 3], d=sf[SF_D:SF_D + 3],
         accum=sf[SF_ACCUM:SF_ACCUM + 4], thr=sf[SF_THR:SF_THR + 4],
         mis_pdf=sf[SF_MISPDF], mis_ior=sf[SF_MISIOR],
@@ -1781,14 +2027,19 @@ def _unpack_state(sf, su):
         hit_uv=sf[SF_HITUV:SF_HITUV + 2],
         hit_dist=sf[SF_HITDIST], hit_lgt=sf[SF_HITLGT],
         rngx=su[SU_RNGX], rngy=su[SU_RNGY], flags=su[SU_FLAGS])
+    if spectral:
+        st['lam'] = sf[SF_LAM:SF_LAM + 4]
+    return st
 
 
 def _pack_state(st):
-    sf = jnp.concatenate([
-        st['o'], st['d'], st['accum'], st['thr'],
-        st['mis_pdf'][None], st['mis_ior'][None],
-        st['hit_pos'], st['hit_norm'], st['hit_uv'],
-        st['hit_dist'][None], st['hit_lgt'][None]], axis=0)
+    rows = [st['o'], st['d'], st['accum'], st['thr'],
+            st['mis_pdf'][None], st['mis_ior'][None],
+            st['hit_pos'], st['hit_norm'], st['hit_uv'],
+            st['hit_dist'][None], st['hit_lgt'][None]]
+    if 'lam' in st:
+        rows.append(st['lam'])
+    sf = jnp.concatenate(rows, axis=0)
     su = jnp.stack([st['rngx'], st['rngy'], st['flags']])
     return sf, su
 
@@ -1800,6 +2051,8 @@ def _pack_state(st):
 # the same pixel — lane-iterations per sample drop from `depth` to the
 # expected path length (the reference has no equivalent: its megakernel
 # runs dead threads to the loop end, integrator_pt.cpp:719-758).
+# (spectral scenes carry 4 extra lam rows, so the accumulator offset is
+# _sf_nrows(spectral); RF_ACC/RF_NROWS are the non-spectral values)
 RF_ACC = SF_NROWS      # 4 rows f32: sum of completed-sample contributions
 RF_NROWS = SF_NROWS + 4
 RU_NDONE = SU_NROWS        # completed-sample count
@@ -1819,7 +2072,8 @@ def _merge_state(cond, a, b):
 @functools.lru_cache(maxsize=64)
 def _build_kernels(depth: int, integrator_type: int, textured: bool,
                    n_blocks: int, n_tris: int, n_quad_rows: int,
-                   interpret: bool, env_tap: bool = False, mtypes=None):
+                   interpret: bool, env_tap: bool = False, mtypes=None,
+                   spectral: bool = False, spd_sets=None):
     """Compile-time assembly of the per-bounce kernel chain.
 
     Chain: K0 = init+trace(0); K_b = shade(b-1)+trace(b); K_last =
@@ -1858,6 +2112,10 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
             wz = refs[i][:]; i += 1
             shade_t = refs[i][:]; i += 1
             mat_lane = refs[i][:]; i += 1
+            spd = None
+            if spectral:
+                spd = refs[i][:]; i += 1
+            spec = (spd, spd_sets) if spectral else None
             tex_lane = refs[i][:] if (emit_tap or take_tap) else None
             if emit_tap or take_tap:
                 i += 1
@@ -1867,11 +2125,12 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
             if first:
                 xy = refs[i][0]; i += 1
                 su = refs[i][0]; i += 1
-                st = stage_init(consts, xy[0], xy[1], su[SU_RNGX], su[SU_RNGY])
+                st = stage_init(consts, xy[0], xy[1], su[SU_RNGX],
+                                su[SU_RNGY], spectral=spectral)
             else:
                 sf = refs[i][0]; i += 1
                 su = refs[i][0]; i += 1
-                st = _unpack_state(sf, su)
+                st = _unpack_state(sf, su, spectral)
             if take_tap:
                 q16 = refs[i][0]; i += 1
             n_in = i
@@ -1890,14 +2149,14 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
                     shade, rngx2, rngy2 = stage_nee(
                         wx, wy, wz, shade_t, n_tris, light_lane, consts,
                         md, tex, st, shade_bounce, integrator_type,
-                        mtypes=mtypes)
+                        mtypes=mtypes, spec=spec)
                     st['rngx'] = rngx2
                     st['rngy'] = rngy2
                 else:
                     shade = jnp.zeros_like(st['accum'])
                 st = stage_next_bounce(md, tex, st, shade, shade_bounce,
                                        integrator_type, light_lane, consts,
-                                       mtypes=mtypes)
+                                       mtypes=mtypes, spec=spec)
 
             if last:
                 env4 = None
@@ -1908,7 +2167,7 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
                     _, we = stage_env_tap_prep(consts, tex_lane, st['d'])
                     env4 = tex_from_rows(q16, we)
                 contrib = stage_env_contribute(consts, st, integrator_type,
-                                               env4)
+                                               env4, spec=spec)
                 out[0][0] = contrib
                 out[1][0] = jnp.stack([st['rngx'], st['rngy'], st['flags']])
                 return
@@ -1940,14 +2199,17 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
                 out[2][0, 0] = q
 
         in_specs = [smem, full, full, full, full, full]
+        if spectral:
+            in_specs.append(full)
         if emit_tap or take_tap:
             in_specs.append(full)
         if shade_bounce is not None:
             in_specs.append(full)
+        SFN = _sf_nrows(spectral)
         if first:
             in_specs += [bspec(2), bspec(SU_NROWS)]
         else:
-            in_specs += [bspec(SF_NROWS), bspec(SU_NROWS)]
+            in_specs += [bspec(SFN), bspec(SU_NROWS)]
         if take_tap:
             in_specs += [bspec(16)]
 
@@ -1958,9 +2220,9 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
                           jax.ShapeDtypeStruct((nb, SU_NROWS, S, L), jnp.uint32))
                 specs = (bspec(4), bspec(SU_NROWS))
             else:
-                shapes = [jax.ShapeDtypeStruct((nb, SF_NROWS, S, L), jnp.float32),
+                shapes = [jax.ShapeDtypeStruct((nb, SFN, S, L), jnp.float32),
                           jax.ShapeDtypeStruct((nb, SU_NROWS, S, L), jnp.uint32)]
-                specs = [bspec(SF_NROWS), bspec(SU_NROWS)]
+                specs = [bspec(SFN), bspec(SU_NROWS)]
                 if emit_tap:
                     shapes += [jax.ShapeDtypeStruct((nb, 1, S, L), jnp.int32)]
                     specs += [bspec(1)]
@@ -1986,16 +2248,24 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
         # const-texture scenes need no between-kernel taps: the ENTIRE
         # sample (camera -> depth bounces -> env -> contribute) is ONE
         # kernel — no per-bounce state round-trips through HBM
-        def whole_kernel(c_ref, wxr, wyr, wzr, shr, mlr, llr, xy_ref,
-                         su_ref, ocontrib, osu):
-            consts = c_ref
-            wx, wy, wz = wxr[:], wyr[:], wzr[:]
-            shade_t = shr[:]
-            mat_lane = mlr[:]
-            light_lane = llr[:]
-            xy = xy_ref[0]
-            su = su_ref[0]
-            st = stage_init(consts, xy[0], xy[1], su[SU_RNGX], su[SU_RNGY])
+        def whole_kernel(*refs):
+            i = 0
+            consts = refs[i]; i += 1
+            wx = refs[i][:]; i += 1
+            wy = refs[i][:]; i += 1
+            wz = refs[i][:]; i += 1
+            shade_t = refs[i][:]; i += 1
+            mat_lane = refs[i][:]; i += 1
+            spd = None
+            if spectral:
+                spd = refs[i][:]; i += 1
+            spec = (spd, spd_sets) if spectral else None
+            light_lane = refs[i][:]; i += 1
+            xy = refs[i][0]; i += 1
+            su = refs[i][0]; i += 1
+            ocontrib, osu = refs[i], refs[i + 1]
+            st = stage_init(consts, xy[0], xy[1], su[SU_RNGX], su[SU_RNGY],
+                            spectral=spectral)
             for b in range(n_bounce):
                 st = stage_trace(wx, wy, wz, shade_t, n_tris, st, b)
                 md = fetch_mat(mat_lane, _mat_id(st['flags']))
@@ -2003,20 +2273,23 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
                 if integrator_type != INTEGRATOR_STUPID_PT:
                     shade, rngx2, rngy2 = stage_nee(
                         wx, wy, wz, shade_t, n_tris, light_lane, consts,
-                        md, tex, st, b, integrator_type, mtypes=mtypes)
+                        md, tex, st, b, integrator_type, mtypes=mtypes,
+                        spec=spec)
                     st['rngx'] = rngx2
                     st['rngy'] = rngy2
                 else:
                     shade = jnp.zeros_like(st['accum'])
                 st = stage_next_bounce(md, tex, st, shade, b,
                                        integrator_type, light_lane, consts,
-                                       mtypes=mtypes)
-            contrib = stage_env_contribute(consts, st, integrator_type)
+                                       mtypes=mtypes, spec=spec)
+            contrib = stage_env_contribute(consts, st, integrator_type,
+                                           spec=spec)
             ocontrib[0] = contrib
             osu[0] = jnp.stack([st['rngx'], st['rngy'], st['flags']])
 
-        whole_specs = [smem, full, full, full, full, full, full,
-                       bspec(2), bspec(SU_NROWS)]
+        whole_specs = ([smem, full, full, full, full, full]
+                       + ([full] if spectral else []) + [full]
+                       + [bspec(2), bspec(SU_NROWS)])
 
         def whole_out(n_rays):
             nb = n_rays // RBLK
@@ -2035,7 +2308,8 @@ def _build_kernels(depth: int, integrator_type: int, textured: bool,
 def _build_regen_kernels(depth: int, integrator_type: int, textured: bool,
                          n_blocks: int, n_tris: int, n_quad_rows: int,
                          interpret: bool, env_tap: bool = False,
-                         mtypes=None):
+                         mtypes=None, spectral: bool = False,
+                         spd_sets=None):
     """Regeneration-mode kernels (persistent samples, VERDICT item: deep-
     bounce occupancy).  Two kernels:
 
@@ -2060,9 +2334,11 @@ def _build_regen_kernels(depth: int, integrator_type: int, textured: bool,
         return pl.BlockSpec((1, k, S, L), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    SFN = _sf_nrows(spectral)
+
     def unpack_r(sf, su):
-        st = _unpack_state(sf, su)
-        return st, sf[RF_ACC:RF_ACC + 4], su[RU_NDONE], su[RU_BCNT]
+        st = _unpack_state(sf, su, spectral)
+        return st, sf[SFN:SFN + 4], su[RU_NDONE], su[RU_BCNT]
 
     def pack_r(st, lane_acc, ndone, bcnt):
         sf, su = _pack_state(st)
@@ -2094,13 +2370,16 @@ def _build_regen_kernels(depth: int, integrator_type: int, textured: bool,
             wz = refs[i][:]; i += 1
             shade_t = refs[i][:]; i += 1
             mat_lane = refs[i][:]; i += 1
+            if spectral:
+                i += 1                      # spd table: unused by rfirst
             tex_lane = refs[i][:] if tap else None
             if tap:
                 i += 1
             xy = refs[i][0]; i += 1
             su = refs[i][0]; i += 1
             out = list(refs[i:])
-            st = stage_init(consts, xy[0], xy[1], su[SU_RNGX], su[SU_RNGY])
+            st = stage_init(consts, xy[0], xy[1], su[SU_RNGX], su[SU_RNGY],
+                            spectral=spectral)
             st = stage_trace(wx, wy, wz, shade_t, n_tris, st, 0)
             zero_u = jnp.zeros(st['flags'].shape, jnp.uint32)
             sf2, su2 = pack_r(st, jnp.zeros_like(st['accum']), zero_u, zero_u)
@@ -2110,6 +2389,8 @@ def _build_regen_kernels(depth: int, integrator_type: int, textured: bool,
                 emit_tap(out, 2, consts, tex_lane, mat_lane, st)
 
         in_specs = [smem, full, full, full, full, full]
+        if spectral:
+            in_specs.append(full)
         if tap:
             in_specs.append(full)
         in_specs += [bspec(2), bspec(SU_NROWS)]
@@ -2124,6 +2405,10 @@ def _build_regen_kernels(depth: int, integrator_type: int, textured: bool,
             wz = refs[i][:]; i += 1
             shade_t = refs[i][:]; i += 1
             mat_lane = refs[i][:]; i += 1
+            spd = None
+            if spectral:
+                spd = refs[i][:]; i += 1
+            spec = (spd, spd_sets) if spectral else None
             tex_lane = refs[i][:] if tap else None
             if tap:
                 i += 1
@@ -2145,11 +2430,11 @@ def _build_regen_kernels(depth: int, integrator_type: int, textured: bool,
                 _, we = stage_env_tap_prep(consts, tex_lane, st['d'])
                 env4 = tex_from_rows(q16, we)
             contrib0 = stage_env_contribute(consts, st, integrator_type,
-                                            env4)
+                                            env4, spec=spec)
             lane_acc = lane_acc + jnp.where(dead0, contrib0, 0.0)
             ndone = ndone + dead0.astype(jnp.uint32)
             stf = stage_init(consts, xy[0], xy[1], st['rngx'], st['rngy'],
-                             mask=dead0)
+                             mask=dead0, spectral=spectral)
             st = _merge_state(dead0, stf, st)
             bcnt = jnp.where(dead0, jnp.uint32(0), bcnt)
             act = ~dead0          # non-fresh lanes all carry a valid hit
@@ -2166,14 +2451,14 @@ def _build_regen_kernels(depth: int, integrator_type: int, textured: bool,
                 shade, rngx2, rngy2 = stage_nee(
                     wx, wy, wz, shade_t, n_tris, light_lane, consts,
                     md, tex, st, None, integrator_type, active=act,
-                    mtypes=mtypes)
+                    mtypes=mtypes, spec=spec)
                 st['rngx'] = rngx2
                 st['rngy'] = rngy2
             else:
                 shade = jnp.zeros_like(st['accum'])
             st = stage_next_bounce(md, tex, st, shade, None, integrator_type,
                                    light_lane, consts, active=act, prim=prim,
-                                   mtypes=mtypes)
+                                   mtypes=mtypes, spec=spec)
             bcnt = bcnt + act.astype(jnp.uint32)
             # depth truncation: the fixed chain discards the sampled bounce
             # ray after shade n_bounce-1; kill those paths here
@@ -2185,11 +2470,12 @@ def _build_regen_kernels(depth: int, integrator_type: int, textured: bool,
 
             # 3. flush shade-deaths (light hit / truncation) + re-init
             dead1 = _is_dead(st['flags']) & act
-            contrib1 = stage_env_contribute(consts, st, integrator_type)
+            contrib1 = stage_env_contribute(consts, st, integrator_type,
+                                            spec=spec)
             lane_acc = lane_acc + jnp.where(dead1, contrib1, 0.0)
             ndone = ndone + dead1.astype(jnp.uint32)
             stf2 = stage_init(consts, xy[0], xy[1], st['rngx'], st['rngy'],
-                              mask=dead1)
+                              mask=dead1, spectral=spectral)
             st = _merge_state(dead1, stf2, st)
             bcnt = jnp.where(dead1, jnp.uint32(0), bcnt)
 
@@ -2204,19 +2490,21 @@ def _build_regen_kernels(depth: int, integrator_type: int, textured: bool,
                 emit_tap(out, 2, consts, tex_lane, mat_lane, st)
 
         in_specs = [smem, full, full, full, full, full]
+        if spectral:
+            in_specs.append(full)
         if tap:
             in_specs.append(full)
         in_specs.append(full)  # light_lane
-        in_specs += [bspec(2), bspec(RF_NROWS), bspec(RU_NROWS)]
+        in_specs += [bspec(2), bspec(SFN + 4), bspec(RU_NROWS)]
         if tap:
             in_specs += [bspec(16)]
         return kernel, in_specs
 
     def out_for(n_rays):
         nb = n_rays // RBLK
-        shapes = [jax.ShapeDtypeStruct((nb, RF_NROWS, S, L), jnp.float32),
+        shapes = [jax.ShapeDtypeStruct((nb, SFN + 4, S, L), jnp.float32),
                   jax.ShapeDtypeStruct((nb, RU_NROWS, S, L), jnp.uint32)]
-        specs = [bspec(RF_NROWS), bspec(RU_NROWS)]
+        specs = [bspec(SFN + 4), bspec(RU_NROWS)]
         if tap:
             shapes += [jax.ShapeDtypeStruct((nb, 1, S, L), jnp.int32)]
             specs += [bspec(1)]
@@ -2260,8 +2548,11 @@ def sample_pass_pallas(pk: MegaPack, xy, sf_unused, su, depth: int,
     nq = 1 if pk.quad_rows is None else int(pk.quad_rows.shape[0])
     ks, call = _build_kernels(depth, integrator_type, not pk.tex_const,
                               NB, pk.n_tris, nq, interpret,
-                              env_tap=pk.env_mapped, mtypes=pk.mtypes)
+                              env_tap=pk.env_mapped, mtypes=pk.mtypes,
+                              spectral=pk.spectral, spd_sets=pk.spd_sets)
     base = [pk.consts, pk.wx, pk.wy, pk.wz, pk.shade_t, pk.mat_lane]
+    if pk.spectral:
+        base.append(pk.spd_lane)
     n_bounce = depth + (1 if integrator_type == INTEGRATOR_STUPID_PT else 0)
     textured = not pk.tex_const
 
@@ -2290,6 +2581,8 @@ def _regen_iters(pk, ks, call, xy, sf, su, rows, k, n_rays):
     """k rmid iterations with taps between (traced inline under jit)."""
     tap = not pk.tex_const or pk.env_mapped
     base = [pk.consts, pk.wx, pk.wy, pk.wz, pk.shade_t, pk.mat_lane]
+    if pk.spectral:
+        base.append(pk.spd_lane)
     pk_mid = base + ([pk.tex_lane] if tap else []) + [pk.light_lane]
     for _ in range(k):
         state = [xy, sf, su] + ([rows] if tap else [])
@@ -2311,8 +2604,12 @@ def _regen_start(pk, xy, su, depth, integrator_type, k_iters, interpret):
     tap = not pk.tex_const or pk.env_mapped
     ks, call = _build_regen_kernels(depth, integrator_type, not pk.tex_const,
                                     n_rays // RBLK, pk.n_tris, nq, interpret,
-                                    env_tap=pk.env_mapped, mtypes=pk.mtypes)
+                                    env_tap=pk.env_mapped, mtypes=pk.mtypes,
+                                    spectral=pk.spectral,
+                                    spd_sets=pk.spd_sets)
     base = [pk.consts, pk.wx, pk.wy, pk.wz, pk.shade_t, pk.mat_lane]
+    if pk.spectral:
+        base.append(pk.spd_lane)
     pk_first = base + ([pk.tex_lane] if tap else [])
     r = call(ks['rfirst'], pk_first, [xy, su], n_rays)
     if tap:
@@ -2331,7 +2628,9 @@ def _regen_cont(pk, xy, sf, su, rows, depth, integrator_type, k_iters,
     nq = 1 if pk.quad_rows is None else int(pk.quad_rows.shape[0])
     ks, call = _build_regen_kernels(depth, integrator_type, not pk.tex_const,
                                     n_rays // RBLK, pk.n_tris, nq, interpret,
-                                    env_tap=pk.env_mapped, mtypes=pk.mtypes)
+                                    env_tap=pk.env_mapped, mtypes=pk.mtypes,
+                                    spectral=pk.spectral,
+                                    spd_sets=pk.spd_sets)
     return _regen_iters(pk, ks, call, xy, sf, su, rows, k_iters, n_rays)
 
 
@@ -2343,8 +2642,9 @@ def _regen_finalize(pk, sf, su, integrator_type):
     Returns (img [4, n_rays], n_done [n_rays])."""
     sft = sf.transpose(1, 0, 2, 3)
     sut = su.transpose(1, 0, 2, 3)
-    st = _unpack_state(sft, sut)
-    lane_acc = sft[RF_ACC:RF_ACC + 4]
+    st = _unpack_state(sft, sut, pk.spectral)
+    rf_acc = _sf_nrows(pk.spectral)
+    lane_acc = sft[rf_acc:rf_acc + 4]
     ndone = sut[RU_NDONE]
     dead = _is_dead(st['flags'])
     env4 = None
@@ -2354,7 +2654,9 @@ def _regen_finalize(pk, sf, su, integrator_type):
         qe, we = stage_env_tap_prep(pk.consts, pk.tex_lane, st['d'])
         qT = _tap_xla_like(pk, qe.reshape(-1, L))
         env4 = tex_from_rows(qT.reshape((16,) + st['flags'].shape), we)
-    contrib = stage_env_contribute(pk.consts, st, integrator_type, env4)
+    fspec = (pk.spd_lane, pk.spd_sets) if pk.spectral else None
+    contrib = stage_env_contribute(pk.consts, st, integrator_type, env4,
+                                   spec=fspec)
     lane_acc = lane_acc + jnp.where(dead, contrib, 0.0)
     ndone = ndone + dead.astype(jnp.uint32)
     img = lane_acc / jnp.maximum(ndone.astype(jnp.float32), 1.0)

@@ -304,3 +304,75 @@ def test_env_map_regen_matches(cornell_env):
     img_b = MK.render(scene, meta, spp=6, integrator='mispt', regen=True)
     psnr = _psnr(img_a[..., :3], img_b[..., :3])
     assert psnr > 30.0, psnr
+
+
+SPECTRAL_SCENE = ('/root/reference/scenes/test_spectral/'
+                  'spectral_cornell_conductor.xml')
+
+
+@pytest.fixture(scope='module')
+def cornell_spectral():
+    """test_035 loaded in SPECTRAL mode: hero wavelengths, CIE conversion,
+    RGB-as-wavelength-lane fallbacks (no SPDs attached)."""
+    scene, meta = SB.load_scene(CORNELL, width=W, height=H,
+                                spectral_mode=True)
+    return scene, meta
+
+
+def test_spectral_supported(cornell_spectral):
+    scene, meta = cornell_spectral
+    assert meta.spectral_mode
+    assert MK.supported(scene, meta)
+    pk = MK.get_pack(scene, meta)
+    assert pk.spectral and pk.spd_lane is not None
+
+
+@pytest.mark.parametrize('regen', [False, True])
+def test_spectral_render_matches_integrator(cornell_spectral, regen):
+    """Spectral megakernel (lambda draws + in-kernel spectrum_to_xyz) vs
+    the XLA spectral path at equal RNG."""
+    scene, meta = cornell_spectral
+    img_mk = MK.render(scene, meta, spp=4, integrator='mispt', regen=regen)
+    os.environ['HYDRA_MEGAKERNEL'] = '0'
+    try:
+        img_ref = R.render(scene, meta, spp=4, integrator='mispt')
+    finally:
+        os.environ.pop('HYDRA_MEGAKERNEL', None)
+    psnr = _psnr(np.asarray(img_mk)[..., :3], np.asarray(img_ref)[..., :3])
+    assert psnr > (35.0 if regen else 45.0), psnr
+
+
+def test_spectral_spd_stage_chain_matches_integrator():
+    """SPD-heavy scene (cornell spectral conductor: diffuse SPDs, Au
+    eta/k, D50 light): the megakernel STAGE CHAIN (sample_pass_ref — the
+    exact math the Pallas kernels run) must agree with the XLA integrator
+    under equal RNG.  The scene itself routes XLA in production (16k tris
+    > the megakernel brute-trace cap); this pins the spectral stage math."""
+    scene, meta = SB.load_scene(SPECTRAL_SCENE, '/root/reference/scenes',
+                                width=32, height=16, spectral_mode=True)
+    assert not MK.supported(scene, meta)      # 16k tris: router says XLA
+    pk = MK.pack(scene, meta)
+    assert pk.spectral and len(pk.spd_sets[0]) > 0 and len(pk.spd_sets[1]) > 0
+
+    n = MK.RBLK
+    pix = np.arange(n, dtype=np.int32) % (32 * 16)
+    xs = (pix % 32).astype(np.float32).reshape(MK.S, MK.L)
+    ys = (pix // 32).astype(np.float32).reshape(MK.S, MK.L)
+    rng0 = np.asarray(RNG.gen_init(jnp.asarray(pix)))
+    rngx = jnp.asarray(rng0[:, 0].reshape(MK.S, MK.L))
+    rngy = jnp.asarray(rng0[:, 1].reshape(MK.S, MK.L))
+    contrib, _, _ = MK.sample_pass_ref(pk, jnp.asarray(xs), jnp.asarray(ys),
+                                       rngx, rngy, meta.trace_depth,
+                                       MK.INTEGRATOR_MIS_PT)
+    mk_img = np.asarray(contrib).reshape(4, -1).T[:, :3]
+
+    from hydracore3_tpu import render as R2
+    contrib_ref, _, _ = R2._one_sample(
+        scene, meta, jnp.asarray(rng0), jnp.asarray(pix),
+        IPT.INTEGRATOR_MIS_PT, IPT.FB_COLOR, 4)
+    ref_img = np.asarray(contrib_ref)[:, :3]
+
+    # same RNG, same estimator: images agree sample-for-sample up to FP
+    # path boundaries (Woop vs BVH traversal rounding)
+    close = np.isclose(mk_img, ref_img, rtol=2e-2, atol=2e-3).all(axis=-1)
+    assert close.mean() > 0.98, close.mean()
