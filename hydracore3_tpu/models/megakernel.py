@@ -259,11 +259,13 @@ def pdf_a_to_w(pdf_a, dist, cos_t):
 def lane_gather(table_row, idx):
     """Per-ray fetch from a <=128-entry table.
 
-    table_row: [128] values; idx: [S,L] int32 in [0,128).  Lowered to one
-    tpu.dynamic_gather per tile (the only in-register gather the hardware
-    has)."""
+    table_row: [128] values; idx: [S,L] int32 in [0,128) — or any [..., L]
+    plane stack (the regen finalize path runs stage fns on [NB,S,L]
+    planes, so the gather axis must be the LAST axis, not axis 1).
+    Lowered to one tpu.dynamic_gather per tile (the only in-register
+    gather the hardware has)."""
     tab = jnp.broadcast_to(table_row.reshape(1, L), idx.shape)
-    return jnp.take_along_axis(tab, idx, axis=1)
+    return jnp.take_along_axis(tab, idx, axis=-1)
 
 
 def plane(x):

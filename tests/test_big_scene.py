@@ -28,15 +28,30 @@ from hydracore3_tpu.ops import rng as RNG
 
 pytestmark = pytest.mark.heavy  # full-render compile: run via `pytest -m heavy`
 
-CITY_KW = dict(n_blocks=4, subdiv=1, seed=3, width=48, height=32, depth=3,
+CITY_KW = dict(n_blocks=4, subdiv=1, seed=3, width=32, height=16, depth=2,
                ground_subdiv=8)
 
 
 @pytest.fixture(scope='module')
 def city(tmp_path_factory):
     base = tmp_path_factory.mktemp('city')
-    return synth.city_scene(**CITY_KW, accel='stream',
-                            cache_dir=str(base / 's'))
+    # Route nearest-hit through the BVH-walk kernel, not the march kernel:
+    # the 192-round in-kernel march is ~2 orders slower under the Pallas
+    # INTERPRETER and made this module the heavy tier's hotspot (>1 h,
+    # VERDICT r4 weak #7).  March-vs-oracle parity is covered by
+    # test_dda_traverse (small direct kernels) and at 345k-tri scale by
+    # bench.py's trace_parity rider on the real chip.
+    import os
+    old = os.environ.get('HYDRA_STREAM_MARCH')
+    os.environ['HYDRA_STREAM_MARCH'] = '0'
+    try:
+        yield synth.city_scene(**CITY_KW, accel='stream',
+                               cache_dir=str(base / 's'))
+    finally:
+        if old is None:
+            os.environ.pop('HYDRA_STREAM_MARCH', None)
+        else:
+            os.environ['HYDRA_STREAM_MARCH'] = old
 
 
 def test_city_uses_stream(city):
@@ -50,7 +65,10 @@ def test_city_uses_stream(city):
 
 def test_stream_pass_matches_brute_same_scene(city):
     scene, meta = city
-    meta_brute = dataclasses.replace(meta, use_stream=False)
+    # use_bvh=False: the stream build leaves a 1-node stub BVH whose
+    # degenerate while-loop walk takes XLA:CPU >25 min to COMPILE (the r4
+    # heavy-tier wall); the vectorized brute oracle compiles in ~10 s
+    meta_brute = dataclasses.replace(meta, use_stream=False, use_bvh=False)
     N = meta.width * meta.height
     pix = jnp.arange(N, dtype=jnp.int32)
 
