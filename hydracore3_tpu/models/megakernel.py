@@ -567,7 +567,11 @@ def pack(scene: Scene, meta: SceneMeta) -> MegaPack:
     e1 = np.asarray(scene.tri_e1, np.float64)
     e2 = np.asarray(scene.tri_e2, np.float64)
     T = v0.shape[0]
-    Tpad = max(8, -(-T // 8) * 8)
+    # pad to the _trace_blocks block size (128) once T exceeds one block —
+    # its [T,R] sub-block slices index T in 128-tri steps (a mult-of-8 pad
+    # sliced OOB for >4096-tri scenes packed directly, e.g. by the
+    # spectral stage-chain oracle tests)
+    Tpad = max(8, -(-T // 8) * 8) if T <= 128 else -(-T // 128) * 128
 
     # Woop unit-triangle transform: M = inv([e1 e2 n]) as columns; ray hits
     # where p + t q = (u, v, 0), p = M(o - v0), q = M d.
