@@ -916,8 +916,12 @@ def _trace_blocks(pk_wx, pk_wy, pk_wz, shade_t, n_tris, o, d, tmin, tmax,
                       oh, preferred_element_type=f32,
                       precision=hi)  # [32,R]; the f32-emulation passes
         # stay EXACT for a one-hot select (disjoint-mantissa decomposition)
-        ub = jnp.sum(oh * u, axis=0)
-        vb = jnp.sum(oh * v, axis=0)
+        # u/v NaN-scrub BEFORE the one-hot sum: degenerate/padded Woop rows
+        # produce t = 0/0 -> NaN u/v, and 0 * NaN = NaN would contaminate
+        # every ray whose winner shares a 128-tri block with one (only
+        # multi-block scenes, >128 tris — the 24-tri Cornell never saw it)
+        ub = jnp.sum(oh * jnp.where(valid, u, 0.0), axis=0)
+        vb = jnp.sum(oh * jnp.where(valid, v, 0.0), axis=0)
         closer = bt < best_t                                     # [1,R]
         best_sh = jnp.where(closer, shb, best_sh)                # bcast [32,R]
         best_u = jnp.where(closer[0], ub, best_u)
