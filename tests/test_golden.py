@@ -19,7 +19,10 @@ import pytest
 from hydracore3_tpu.scene import build as SB
 from hydracore3_tpu import render as R
 
-pytestmark = pytest.mark.heavy  # full-render compile: run via `pytest -m heavy`
+# golden tier: 256x256 @ 32-64 spp CPU renders vs reference-binary goldens
+# take tens of minutes EACH (the XLA CPU render is ~100x slower than chip);
+# run per-release via `pytest -m golden`, not in the routine heavy tier
+pytestmark = [pytest.mark.heavy, pytest.mark.golden]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), 'goldens')
 SCENES = '/root/reference/scenes'
