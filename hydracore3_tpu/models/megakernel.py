@@ -489,12 +489,15 @@ jax.tree_util.register_dataclass(
 
 
 def supported(scene: Scene, meta: SceneMeta) -> bool:
-    """Static feature gate: the megakernel covers the non-spectral PT core
+    """Static feature gate: the megakernel covers the PT core
     (GLTF/diffuse/conductor/dielectric/glass/emissive materials; rect/disc/
-    sphere/point lights; env maps as miss radiance); spectral mode, motion
-    blur, blend trees, bump maps, 4-texture params, IES/spot/projective
-    lights, importance-sampled env and lens cameras fall back to the XLA
-    path (kernel-by-kernel parity, just not the Pallas pipeline)."""
+    sphere/point lights; env maps as miss radiance) INCLUDING hero-
+    wavelength spectral scenes (SPD diffuse/conductor/light/env fetches
+    in-kernel; per-wavelength-IOR dispersion and spectral textures
+    excluded).  Motion blur, blend trees, bump maps, 4-texture params,
+    IES/spot/projective lights, importance-sampled env and lens cameras
+    fall back to the XLA path (kernel-by-kernel parity, just not the
+    Pallas pipeline)."""
     if meta.has_motion or meta.has_blend or meta.has_bump:
         return False
     if meta.spectral_mode:
